@@ -1,0 +1,134 @@
+"""Voxel keys and sort/segment-reduce voxel-grid downsampling.
+
+Replaces ``algorithms/common/voxel_constants.hpp`` and
+``algorithms/filter/voxel_downsampling.hpp`` of fateshelled/sycl_points.
+The reference computes 64-bit packed voxel keys on device, then sorts and
+group-averages on the *host* (voxel_downsampling.hpp:146-288).  The
+TPU-native version keeps everything on device: integer voxel coordinates,
+a device lexicographic sort, segment-boundary detection, and
+``jax.ops.segment_sum`` aggregation — no host round trip, no 64-bit keys
+(three int32 coords avoid the x64 requirement), no atomics.
+
+Aggregation semantics match the reference: centroid, RGB mean, timestamp
+mean, intensity *median* (compute_median: mean of the two central elements
+for even counts), ``min_voxel_count`` filtering.  Output keeps a static
+capacity with voxels compacted to the front.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sycl_points_tpu.points.point_cloud import PointCloud
+
+# 21 bits per axis, offset 2^20 (voxel_constants.hpp:11-17).
+COORD_BITS = 21
+COORD_OFFSET = 1 << (COORD_BITS - 1)
+COORD_MASK = (1 << COORD_BITS) - 1
+_SENTINEL = jnp.int32(2**31 - 1)  # invalid-voxel coordinate (sorts last)
+
+
+def voxel_coords(points: jax.Array, valid: jax.Array, voxel_size: float | jax.Array):
+    """Integer voxel coordinates ``[N, 3]`` with sentinel for invalid points.
+
+    Mirrors ``filter::kernel::compute_voxel_bit`` (voxel_constants.hpp:37-62):
+    floor(p / voxel_size) + offset, invalid when non-finite or out of the
+    21-bit range.
+    """
+    inv = 1.0 / voxel_size
+    scaled = points * inv
+    finite = jnp.all(jnp.isfinite(scaled), axis=-1) & valid
+    c = jnp.floor(scaled).astype(jnp.int32) + COORD_OFFSET
+    in_range = jnp.all((c >= 0) & (c <= COORD_MASK), axis=-1)
+    ok = finite & in_range
+    c = jnp.where(ok[:, None], c, _SENTINEL)
+    return c, ok
+
+
+def _segment_ids_from_sorted_coords(coords_sorted: jax.Array):
+    """Segment ids for lexicographically sorted coordinate rows."""
+    prev = jnp.roll(coords_sorted, 1, axis=0)
+    new_seg = jnp.any(coords_sorted != prev, axis=-1)
+    new_seg = new_seg.at[0].set(True)
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    return seg_id, new_seg
+
+
+def voxel_downsample(
+    cloud: PointCloud,
+    voxel_size: float | jax.Array,
+    min_voxel_count: int = 1,
+    out_capacity: Optional[int] = None,
+) -> PointCloud:
+    """Voxel-grid downsampling (VoxelGrid::downsampling,
+    voxel_downsampling.hpp:50-79). Jittable; output capacity is static
+    (defaults to the input capacity)."""
+    N = cloud.capacity
+    out_cap = out_capacity or N
+    coords, ok = voxel_coords(cloud.points, cloud.mask, voxel_size)
+
+    # Lexicographic device sort; invalid points share the sentinel and sort
+    # to the tail as one segment with zero weight.
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords_s = coords[order]
+    ok_s = ok[order]
+    pts_s = cloud.points[order]
+
+    seg_id, _ = _segment_ids_from_sorted_coords(coords_s)
+    w = ok_s.astype(cloud.points.dtype)
+
+    counts = jax.ops.segment_sum(w, seg_id, num_segments=out_cap)
+    counts_safe = jnp.maximum(counts, 1.0)
+    centroid = (
+        jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=out_cap)
+        / counts_safe[:, None]
+    )
+    voxel_ok = counts >= float(min_voxel_count)
+
+    rgb = None
+    if cloud.rgb is not None:
+        rgb = (
+            jax.ops.segment_sum(cloud.rgb[order] * w[:, None], seg_id, num_segments=out_cap)
+            / counts_safe[:, None]
+        )
+    ts = None
+    if cloud.timestamp_offsets is not None:
+        ts = (
+            jax.ops.segment_sum(cloud.timestamp_offsets[order] * w, seg_id, num_segments=out_cap)
+            / counts_safe
+        )
+
+    intens = None
+    if cloud.intensities is not None:
+        intens = _segment_median(
+            cloud.intensities[order], seg_id, w, counts, out_cap
+        )
+
+    return PointCloud(
+        points=centroid,
+        mask=voxel_ok,
+        rgb=rgb,
+        intensities=intens,
+        timestamp_offsets=ts,
+    )
+
+
+def _segment_median(values: jax.Array, seg_id: jax.Array, w: jax.Array, counts, num_segments: int):
+    """Per-segment median matching ``kernel::compute_median``
+    (feature/covariance.hpp:142-172): mean of the two central elements for
+    even counts.  Invalid entries are pushed to the segment tail by sorting
+    on (+inf for invalid) before the median index gather."""
+    n = values.shape[0]
+    sort_vals = jnp.where(w > 0, values, jnp.inf)
+    order2 = jnp.lexsort((sort_vals, seg_id))
+    vals2 = values[order2]
+    seg2 = seg_id[order2]
+    # start index of each segment: for nondecreasing seg2, searchsorted.
+    starts = jnp.searchsorted(seg2, jnp.arange(num_segments), side="left")
+    cnt = counts.astype(jnp.int32)
+    lo = jnp.clip(starts + jnp.maximum(cnt - 1, 0) // 2, 0, n - 1)
+    hi = jnp.clip(starts + cnt // 2, 0, n - 1)
+    return 0.5 * (vals2[lo] + vals2[hi])

@@ -1,0 +1,192 @@
+"""Per-correspondence ICP factor linearization, whitened-row formulation.
+
+Replaces ``algorithms/registration/factor.hpp`` of fateshelled/sycl_points
+(RegType family at factor.hpp:18-32, per-pair linearize kernels at
+factor.hpp:130-482).  TPU-native design change: instead of accumulating a
+6x6 ``H`` per work item, every correspondence is expressed as up to three
+*whitened residual rows* ``A [N, 3, 6]``, ``c [N, 3]`` such that
+
+    H_i = A_i^T A_i,   b_i = A_i^T c_i,   err_i = |c_i|^2
+
+which matches the reference exactly (H = J^T M J with M = L L^T and
+A = L^T J), but turns the global reduction into two large matmuls
+``[6, 3N] @ [3N, 6]`` / ``[6, 3N] @ [3N]`` that run on the MXU — the analog
+of the reference's fused ``sycl::reduction`` pass
+(registration.hpp:513-676).
+
+Conventions (factor.hpp:69-84): J = [R.skew(p) | -R] (rotation-first twist),
+residual r = q - T p, and the caller solves (H + lambda I) delta = -b,
+T <- T @ se3_exp(delta).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sycl_points_tpu.utils import lie
+from sycl_points_tpu.utils.eigh3 import eigvalsh3
+from sycl_points_tpu.utils.smallmat import cholesky3, solve_lower3
+
+
+class RegType(enum.Enum):
+    POINT_TO_POINT = "point_to_point"
+    POINT_TO_PLANE = "point_to_plane"
+    POINT_TO_DISTRIBUTION = "point_to_distribution"
+    GICP = "gicp"
+    GENZ = "genz"
+
+    @staticmethod
+    def from_string(s: str) -> "RegType":
+        u = s.strip().upper()
+        if u == "P2D":
+            return RegType.POINT_TO_DISTRIBUTION
+        return RegType[u]
+
+
+class WhitenedRows(NamedTuple):
+    A: jax.Array  # [N, 3, 6] whitened Jacobian rows
+    c: jax.Array  # [N, 3] whitened residual
+    residual_norm: jax.Array  # [N] (unweighted; robust-weight argument)
+    genz_weight: jax.Array  # [N] (1.0 for non-GenZ types)
+
+
+def se3_jacobian(T: jax.Array, src_pts: jax.Array) -> jax.Array:
+    """J = [R.skew(p) | -R] per point -> ``[N, 3, 6]`` (factor.hpp:69-84)."""
+    R = T[:3, :3]
+    Rskew = jnp.einsum("ij,njk->nik", R, lie.skew(src_pts), precision="highest")
+    negR = jnp.broadcast_to(-R, Rskew.shape)
+    return jnp.concatenate([Rskew, negR], axis=-1)
+
+
+def genz_planarity(target_covs: jax.Array, threshold: float = 0.2) -> jax.Array:
+    """PCA normalized curvature < threshold => planar (factor.hpp:378-401).
+
+    Pose-independent, so unlike the reference (which re-evaluates per pair
+    per iteration) this is precomputed once per target cloud.
+    """
+    lam = eigvalsh3(target_covs)
+    s = jnp.sum(lam, axis=-1)
+    curvature = jnp.where(s > 1e-12, lam[..., 0] / jnp.maximum(s, 1e-12), 1.0)
+    return curvature < threshold
+
+
+def _plane_rows(J, r, normals):
+    nj = jnp.einsum("nc,ncd->nd", normals, J, precision="highest")  # [N, 6]
+    s = jnp.sum(normals * r, axis=-1)  # [N]
+    A = normals[:, :, None] * nj[:, None, :]
+    c = normals * s[:, None]
+    return A, c, jnp.abs(s)
+
+
+def _mahalanobis_rows(J, r, sigma):
+    """Whiten with Sigma^-1: A = G^-1 J, c = G^-1 r for Sigma = G G^T."""
+    G = cholesky3(sigma)
+    A = solve_lower3(G, J)
+    c = solve_lower3(G, r)
+    return A, c, jnp.linalg.norm(c, axis=-1)
+
+
+def whitened_rows(
+    reg_type: RegType,
+    T: jax.Array,
+    src_pts: jax.Array,
+    tgt_pts: jax.Array,
+    src_covs_reg: Optional[jax.Array] = None,
+    tgt_covs_reg: Optional[jax.Array] = None,
+    tgt_covs_raw: Optional[jax.Array] = None,
+    tgt_normals: Optional[jax.Array] = None,
+    genz_planar: Optional[jax.Array] = None,
+    genz_alpha: Optional[jax.Array] = None,
+) -> WhitenedRows:
+    """Linearize all correspondences at pose ``T`` (factor.hpp:413-448).
+
+    ``tgt_*`` arrays are already gathered to source order ([N, ...]).
+    ``src_covs_reg`` / ``tgt_covs_reg`` are plane-regularized covariances
+    (precomputed once per alignment — the regularization is pose-independent,
+    unlike the reference which recomputes it per pair per iteration).
+    """
+    N = src_pts.shape[0]
+    p_t = src_pts @ T[:3, :3].T + T[:3, 3]
+    r = tgt_pts - p_t
+    J = se3_jacobian(T, src_pts)
+    ones = jnp.ones((N,), src_pts.dtype)
+
+    if reg_type is RegType.POINT_TO_POINT:
+        return WhitenedRows(J, r, jnp.linalg.norm(r, axis=-1), ones)
+
+    if reg_type is RegType.POINT_TO_PLANE:
+        A, c, rn = _plane_rows(J, r, tgt_normals)
+        return WhitenedRows(A, c, rn, ones)
+
+    if reg_type is RegType.GICP:
+        R = T[:3, :3]
+        sigma = (
+            jnp.einsum("ij,njk,lk->nil", R, src_covs_reg, R, precision="highest")
+            + tgt_covs_reg
+        )
+        A, c, rn = _mahalanobis_rows(J, r, sigma)
+        return WhitenedRows(A, c, rn, ones)
+
+    if reg_type is RegType.POINT_TO_DISTRIBUTION:
+        A, c, rn = _mahalanobis_rows(J, r, tgt_covs_raw)
+        return WhitenedRows(A, c, rn, ones)
+
+    if reg_type is RegType.GENZ:
+        A_pl, c_pl, rn_pl = _plane_rows(J, r, tgt_normals)
+        rn_pp = jnp.linalg.norm(r, axis=-1)
+        gw = jnp.where(genz_planar, genz_alpha, 1.0 - genz_alpha)
+        A = jnp.where(genz_planar[:, None, None], A_pl, J)
+        c = jnp.where(genz_planar[:, None], c_pl, r)
+        rn = jnp.where(genz_planar, rn_pl, rn_pp)
+        return WhitenedRows(A, c, rn, gw)
+
+    raise ValueError(reg_type)
+
+
+def residual_norms_only(
+    reg_type: RegType,
+    T: jax.Array,
+    src_pts: jax.Array,
+    tgt_pts: jax.Array,
+    src_covs_reg: Optional[jax.Array] = None,
+    tgt_covs_reg: Optional[jax.Array] = None,
+    tgt_covs_raw: Optional[jax.Array] = None,
+    tgt_normals: Optional[jax.Array] = None,
+    genz_planar: Optional[jax.Array] = None,
+    genz_alpha: Optional[jax.Array] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """(residual_norm, genz_weight) without the Jacobian — the error-only
+    path used by LM/dogleg step acceptance (calculate_geometry_error,
+    factor.hpp:455-482)."""
+    N = src_pts.shape[0]
+    p_t = src_pts @ T[:3, :3].T + T[:3, 3]
+    r = tgt_pts - p_t
+    ones = jnp.ones((N,), src_pts.dtype)
+
+    if reg_type is RegType.POINT_TO_POINT:
+        return jnp.linalg.norm(r, axis=-1), ones
+    if reg_type is RegType.POINT_TO_PLANE:
+        return jnp.abs(jnp.sum(tgt_normals * r, axis=-1)), ones
+    if reg_type is RegType.GICP:
+        R = T[:3, :3]
+        sigma = (
+            jnp.einsum("ij,njk,lk->nil", R, src_covs_reg, R, precision="highest")
+            + tgt_covs_reg
+        )
+        G = cholesky3(sigma)
+        c = solve_lower3(G, r)
+        return jnp.linalg.norm(c, axis=-1), ones
+    if reg_type is RegType.POINT_TO_DISTRIBUTION:
+        G = cholesky3(tgt_covs_raw)
+        c = solve_lower3(G, r)
+        return jnp.linalg.norm(c, axis=-1), ones
+    if reg_type is RegType.GENZ:
+        rn_pl = jnp.abs(jnp.sum(tgt_normals * r, axis=-1))
+        rn_pp = jnp.linalg.norm(r, axis=-1)
+        gw = jnp.where(genz_planar, genz_alpha, 1.0 - genz_alpha)
+        return jnp.where(genz_planar, rn_pl, rn_pp), gw
+    raise ValueError(reg_type)

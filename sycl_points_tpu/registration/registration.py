@@ -1,0 +1,541 @@
+"""Core ICP registration solver: fully on-device align loop.
+
+Replaces ``algorithms/registration/registration.hpp`` of
+fateshelled/sycl_points.  Key architectural difference from the reference:
+the reference alternates device kernels (KNN, fused linearize-reduce) with
+host logic (6x6 LDLT, LM/dogleg bookkeeping), paying a device<->host sync
+per ICP iteration (registration.hpp:201-276).  Here the *entire* align loop
+— per-iteration correspondence search, linearization, robust weighting,
+reduction, 6x6 solve, optimizer bookkeeping, convergence test — is one
+``lax.while_loop`` inside one jitted XLA computation: zero host round trips.
+
+Parity map:
+  * params/defaults            -> registration_params.hpp:17-114
+  * fused linearize+reduce     -> registration.hpp:513-676 (here: whitened
+                                  rows + two MXU matmuls)
+  * GenZ adaptive alpha        -> registration.hpp:464-511
+  * frozen-correspondence error-only reduction for LM/dogleg acceptance
+                               -> registration.hpp:678-789
+  * optimize_gauss_newton      -> registration.hpp:803-828
+  * optimize_levenberg_marquardt -> registration.hpp:830-895
+  * optimize_powell_dogleg     -> registration.hpp:897-964
+  * compute_dogleg_step        -> dogleg_step.hpp:36-...
+  * compute_icp_robust_weights -> registration.hpp:412-462
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sycl_points_tpu.points.point_cloud import PointCloud
+from sycl_points_tpu.registration.factors import (
+    RegType,
+    genz_planarity,
+    residual_norms_only,
+    whitened_rows,
+)
+from sycl_points_tpu.ops.robust import RobustLossType, compute_error, compute_weight
+from sycl_points_tpu.utils import lie
+from sycl_points_tpu.utils.eigh3 import plane_regularize
+from sycl_points_tpu.utils.smallmat import solve_psd
+
+
+# --------------------------------------------------------------------------
+# Parameters (static under jit; defaults match registration_params.hpp)
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RobustParams:
+    type: RobustLossType = RobustLossType.NONE
+    default_scale: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RotationConstraintParams:
+    enable: bool = False
+    weight: float = 1.0
+    robust_scale: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussNewtonParams:
+    lambda_: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class LevenbergMarquardtParams:
+    max_inner_iterations: int = 10
+    lambda_factor: float = 2.0
+    init_lambda: float = 1.0
+    max_lambda: float = 1e3
+    min_lambda: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class DoglegParams:
+    initial_trust_region_radius: float = 1.0
+    min_trust_region_radius: float = 1e-4
+    max_trust_region_radius: float = 10.0
+    eta1: float = 0.25
+    eta2: float = 0.75
+    gamma_decrease: float = 0.25
+    gamma_increase: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CriteriaParams:
+    translation: float = 1e-3  # [m]
+    rotation: float = 1e-3  # [rad]
+
+
+@dataclasses.dataclass(frozen=True)
+class RegistrationParams:
+    reg_type: RegType = RegType.GICP
+    max_correspondence_distance: float = 2.0
+    robust: RobustParams = RobustParams()
+    rotation_constraint: RotationConstraintParams = RotationConstraintParams()
+    genz_planarity_threshold: float = 0.2
+    optimization_method: str = "gauss_newton"  # gauss_newton | levenberg_marquardt | powell_dogleg
+    gn: GaussNewtonParams = GaussNewtonParams()
+    lm: LevenbergMarquardtParams = LevenbergMarquardtParams()
+    dogleg: DoglegParams = DoglegParams()
+    max_iterations: int = 20
+    criteria: CriteriaParams = CriteriaParams()
+    # Plugged-in extensions (set by higher layers):
+    degenerate_reg: Optional[Any] = None  # DegenerateRegularizationParams
+    map_prior_enable: bool = False
+
+
+class LinearizedResult(NamedTuple):
+    H: jax.Array  # [6, 6]
+    b: jax.Array  # [6]
+    error: jax.Array  # scalar robust cost
+    inlier: jax.Array  # scalar int32
+
+
+class RegistrationResult(NamedTuple):
+    T: jax.Array  # [4, 4]
+    converged: jax.Array
+    iterations: jax.Array
+    H: jax.Array
+    b: jax.Array
+    error: jax.Array
+    inlier: jax.Array
+    H_raw: jax.Array  # pre-regularization/prior linearization (for MAP prior)
+    b_raw: jax.Array
+    error_raw: jax.Array
+
+
+class _Targets(NamedTuple):
+    """Pose-independent per-alignment precomputation (one-time, not per
+    iteration as in the reference)."""
+
+    points: jax.Array
+    mask: jax.Array
+    covs_reg: Optional[jax.Array]
+    covs_raw: Optional[jax.Array]
+    normals: Optional[jax.Array]
+    planar: Optional[jax.Array]
+
+
+def _precompute_targets(params: RegistrationParams, source: PointCloud, target: PointCloud):
+    reg = params.reg_type
+    src_covs_reg = None
+    tgt = _Targets(target.points, target.mask, None, None, None, None)
+    if reg is RegType.GICP:
+        if source.covs is None or target.covs is None:
+            raise ValueError("GICP requires source and target covariances")
+        src_covs_reg = plane_regularize(source.covs)
+        tgt = tgt._replace(covs_reg=plane_regularize(target.covs))
+    elif reg is RegType.POINT_TO_DISTRIBUTION:
+        if target.covs is None:
+            raise ValueError("POINT_TO_DISTRIBUTION requires target covariances")
+        tgt = tgt._replace(covs_raw=target.covs)
+    elif reg is RegType.POINT_TO_PLANE:
+        if target.normals is None:
+            raise ValueError("POINT_TO_PLANE requires target normals")
+        tgt = tgt._replace(normals=target.normals)
+    elif reg is RegType.GENZ:
+        if target.normals is None or target.covs is None:
+            raise ValueError("GENZ requires target normals and covariances")
+        tgt = tgt._replace(
+            normals=target.normals,
+            planar=genz_planarity(target.covs, params.genz_planarity_threshold),
+        )
+    if params.rotation_constraint.enable:
+        # The constraint term uses the raw (unregularized) covariances of both
+        # clouds (registration.hpp:612, validate at registration.hpp:178-184).
+        if source.covs is None or target.covs is None:
+            raise ValueError("rotation constraint requires source and target covariances")
+        tgt = tgt._replace(covs_raw=target.covs)
+    return src_covs_reg, tgt
+
+
+def _gather(arr, idx):
+    return None if arr is None else arr[idx]
+
+
+def _correspondences(params, knn, src_pts, src_mask, T, tgt: _Targets):
+    """One NN search with the pose folded into the queries (knn.hpp:44)."""
+    res = knn.search(src_pts, 1, pose=T)
+    idx = res.indices[:, 0]
+    d2 = res.distances[:, 0]
+    max_d2 = params.max_correspondence_distance**2
+    corr_mask = src_mask & (d2 <= max_d2)
+    gathered = _Targets(
+        points=tgt.points[idx],
+        mask=corr_mask,
+        covs_reg=_gather(tgt.covs_reg, idx),
+        covs_raw=_gather(tgt.covs_raw, idx),
+        normals=_gather(tgt.normals, idx),
+        planar=_gather(tgt.planar, idx),
+    )
+    return gathered
+
+
+def _genz_alpha(corr: _Targets):
+    """Planar fraction among inliers (registration.hpp:464-511)."""
+    inl = jnp.sum(corr.mask)
+    pl = jnp.sum(corr.mask & corr.planar)
+    return jnp.where(inl > 0, pl.astype(jnp.float32) / jnp.maximum(inl, 1).astype(jnp.float32), 1.0)
+
+
+def _linearize(params: RegistrationParams, T, src_pts, src_covs_reg, corr: _Targets,
+               robust_scale, genz_alpha) -> LinearizedResult:
+    rows = whitened_rows(
+        params.reg_type,
+        T,
+        src_pts,
+        corr.points,
+        src_covs_reg=src_covs_reg,
+        tgt_covs_reg=corr.covs_reg,
+        tgt_covs_raw=corr.covs_raw,
+        tgt_normals=corr.normals,
+        genz_planar=corr.planar,
+        genz_alpha=genz_alpha,
+    )
+    w_rob = compute_weight(params.robust.type, rows.residual_norm, robust_scale)
+    m = corr.mask.astype(src_pts.dtype)
+    scale = jnp.sqrt(w_rob * rows.genz_weight) * m
+
+    A = (rows.A * scale[:, None, None]).reshape(-1, 6)
+    c = (rows.c * scale[:, None]).reshape(-1)
+    H = jnp.dot(A.T, A, precision="highest", preferred_element_type=jnp.float32)
+    b = jnp.dot(A.T, c, precision="highest", preferred_element_type=jnp.float32)
+    err = jnp.sum(
+        m * rows.genz_weight * compute_error(params.robust.type, rows.residual_norm, robust_scale)
+    )
+    inlier = jnp.sum(corr.mask.astype(jnp.int32))
+    return LinearizedResult(H, b, err, inlier)
+
+
+def _error_at(params: RegistrationParams, T, src_pts, src_covs_reg, corr: _Targets,
+              robust_scale, genz_alpha):
+    """Robust error + inliers at pose ``T`` over *frozen* correspondences
+    (registration.hpp:678-789)."""
+    rn, gw = residual_norms_only(
+        params.reg_type,
+        T,
+        src_pts,
+        corr.points,
+        src_covs_reg=src_covs_reg,
+        tgt_covs_reg=corr.covs_reg,
+        tgt_covs_raw=corr.covs_raw,
+        tgt_normals=corr.normals,
+        genz_planar=corr.planar,
+        genz_alpha=genz_alpha,
+    )
+    m = corr.mask.astype(src_pts.dtype)
+    err = jnp.sum(m * gw * compute_error(params.robust.type, rn, robust_scale))
+    inlier = jnp.sum(corr.mask.astype(jnp.int32))
+    return err, inlier
+
+
+def _is_converged(params: RegistrationParams, delta):
+    dr = jnp.linalg.norm(delta[:3])
+    dt = jnp.linalg.norm(delta[3:])
+    return (dt < params.criteria.translation) & (dr < params.criteria.rotation)
+
+
+def compute_dogleg_step(H, g, radius):
+    """Powell dogleg step for ``H p = -g`` inside a trust region
+    (dogleg_step.hpp:36-...).  Returns (p, step_norm, predicted_reduction)."""
+    n = g.shape[0]
+    p_gn, gn_ok = solve_psd(H, -g)
+    norm_gn = jnp.linalg.norm(p_gn)
+    gn_ok = gn_ok & jnp.isfinite(norm_gn)
+
+    g_sq = jnp.dot(g, g)
+    Hg = H @ g
+    gHg = jnp.dot(g, Hg)
+    alpha = jnp.where(gHg > jnp.finfo(jnp.float32).eps, g_sq / jnp.maximum(gHg, 1e-30), 1.0)
+    alpha = jnp.where(jnp.isfinite(alpha), alpha, 1.0)
+    p_sd = -alpha * g
+    norm_sd = jnp.linalg.norm(p_sd)
+
+    # Blend point on the trust-region boundary.
+    diff = p_gn - p_sd
+    a = jnp.dot(diff, diff)
+    bq = 2.0 * jnp.dot(p_sd, diff)
+    cq = jnp.dot(p_sd, p_sd) - radius * radius
+    disc = jnp.maximum(bq * bq - 4.0 * a * cq, 0.0)
+    tau = jnp.where(a > jnp.finfo(jnp.float32).eps, (-bq + jnp.sqrt(disc)) / jnp.maximum(2.0 * a, 1e-30), 0.0)
+    tau = jnp.clip(tau, 0.0, 1.0)
+    p_blend = p_sd + tau * diff
+
+    sd_clipped = jnp.where(norm_sd > 1e-30, (radius / jnp.maximum(norm_sd, 1e-30)) * p_sd, p_sd * 0.0)
+
+    p = jnp.where(
+        gn_ok & (norm_gn <= radius),
+        p_gn,
+        jnp.where(
+            norm_sd >= radius,
+            sd_clipped,
+            jnp.where(gn_ok, p_blend, jnp.where(norm_sd > radius, sd_clipped, p_sd)),
+        ),
+    )
+    step_norm = jnp.linalg.norm(p)
+    pred = -(jnp.dot(g, p) + 0.5 * jnp.dot(p, H @ p))
+    return p, step_norm, pred
+
+
+class _LoopState(NamedTuple):
+    T: jax.Array
+    it: jax.Array
+    converged: jax.Array
+    lm_lambda: jax.Array
+    trust_radius: jax.Array
+    H: jax.Array
+    b: jax.Array
+    error: jax.Array
+    inlier: jax.Array
+    H_raw: jax.Array
+    b_raw: jax.Array
+    error_raw: jax.Array
+
+
+def align(
+    source: PointCloud,
+    target: PointCloud,
+    target_knn,
+    params: RegistrationParams = RegistrationParams(),
+    initial_guess: Optional[jax.Array] = None,
+    robust_scale: Optional[jax.Array] = None,
+    rotation_robust_scale: Optional[jax.Array] = None,
+    map_prior=None,
+) -> RegistrationResult:
+    """Run ICP (Registration::align, registration.hpp:201-276). Jittable."""
+    T0 = jnp.eye(4, dtype=jnp.float32) if initial_guess is None else initial_guess
+    r_scale = jnp.float32(params.robust.default_scale if robust_scale is None else robust_scale)
+    rot_scale = jnp.float32(
+        params.rotation_constraint.robust_scale
+        if rotation_robust_scale is None
+        else rotation_robust_scale
+    )
+
+    src_covs_reg, tgt = _precompute_targets(params, source, target)
+    src_pts, src_mask = source.points, source.mask
+
+    from sycl_points_tpu.registration import degenerate as _degen
+    from sycl_points_tpu.registration import rotation_constraint as _rotc
+
+    def iteration_core(T):
+        corr = _correspondences(params, target_knn, src_pts, src_mask, T, tgt)
+        alpha = _genz_alpha(corr) if params.reg_type is RegType.GENZ else jnp.float32(1.0)
+        lin = _linearize(params, T, src_pts, src_covs_reg, corr, r_scale, alpha)
+        if params.rotation_constraint.enable:
+            lin = _rotc.add_rotation_constraint(
+                params, lin, T, source.covs, corr, rot_scale
+            )
+        return corr, alpha, lin
+
+    def error_fn(T, corr, alpha):
+        err, inl = _error_at(params, T, src_pts, src_covs_reg, corr, r_scale, alpha)
+        if params.rotation_constraint.enable:
+            err = err + _rotc.rotation_constraint_error(
+                params, T, source.covs, corr, rot_scale
+            )
+        if map_prior is not None:
+            err = err + map_prior.prior_error(T)
+        return err, inl
+
+    T_initial = T0
+
+    def body(s: _LoopState) -> _LoopState:
+        corr, alpha, lin_raw = iteration_core(s.T)
+        H_raw, b_raw, error_raw = lin_raw.H, lin_raw.b, lin_raw.error
+
+        lin = lin_raw
+        if params.degenerate_reg is not None:
+            lin = _degen.regularize(params.degenerate_reg, lin, s.T, T_initial)
+        if map_prior is not None:
+            lin = map_prior.apply(lin, s.T)
+
+        H, g, cur_err, inlier = lin.H, lin.b, lin.error, lin.inlier
+
+        if params.optimization_method == "gauss_newton":
+            delta, _ = solve_psd(H + params.gn.lambda_ * jnp.eye(6), -g)
+            T_new = s.T @ lie.se3_exp(delta)
+            return s._replace(
+                T=T_new,
+                it=s.it + 1,
+                converged=_is_converged(params, delta),
+                H=H, b=g, error=cur_err, inlier=inlier,
+                H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
+            )
+
+        if params.optimization_method == "levenberg_marquardt":
+            p = params.lm
+
+            class Inner(NamedTuple):
+                i: jax.Array
+                lam: jax.Array
+                last_error: jax.Array
+                done: jax.Array
+                T: jax.Array
+                error: jax.Array
+                inlier: jax.Array
+                converged: jax.Array
+
+            def inner_cond(st: Inner):
+                return (st.i < p.max_inner_iterations) & ~st.done
+
+            def inner_body(st: Inner):
+                delta, _ = solve_psd(H + st.lam * jnp.eye(6), -g)
+                conv = _is_converged(params, delta)
+                T_new = s.T @ lie.se3_exp(delta)
+                new_err, new_inl = error_fn(T_new, corr, alpha)
+                accept = new_err <= cur_err
+                plateau = jnp.abs(new_err - st.last_error) <= 1e-6
+                take = accept | plateau
+                lam_next = jnp.where(
+                    accept,
+                    jnp.clip(st.lam / p.lambda_factor, p.min_lambda, p.max_lambda),
+                    jnp.clip(st.lam * p.lambda_factor, p.min_lambda, p.max_lambda),
+                )
+                return Inner(
+                    i=st.i + 1,
+                    lam=jnp.where(take & ~accept, st.lam, lam_next),
+                    last_error=new_err,
+                    done=take,
+                    T=jnp.where(take, T_new, st.T),
+                    error=jnp.where(take, new_err, st.error),
+                    inlier=jnp.where(take, new_inl, st.inlier),
+                    converged=jnp.where(take, conv, st.converged),
+                )
+
+            init = Inner(
+                i=jnp.int32(0), lam=s.lm_lambda,
+                last_error=jnp.float32(jnp.finfo(jnp.float32).max),
+                done=jnp.bool_(False), T=s.T, error=cur_err,
+                inlier=inlier, converged=jnp.bool_(False),
+            )
+            fin = jax.lax.while_loop(inner_cond, inner_body, init)
+            return s._replace(
+                T=fin.T, it=s.it + 1, converged=fin.converged, lm_lambda=fin.lam,
+                H=H, b=g, error=fin.error, inlier=fin.inlier,
+                H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
+            )
+
+        if params.optimization_method == "powell_dogleg":
+            p = params.dogleg
+            clamp = lambda r: jnp.clip(r, p.min_trust_region_radius, p.max_trust_region_radius)
+            radius = clamp(s.trust_radius)
+            step, step_norm, pred = compute_dogleg_step(H, g, radius)
+            T_new = s.T @ lie.se3_exp(step)
+            new_err, new_inl = error_fn(T_new, corr, alpha)
+            rho = (cur_err - new_err) / jnp.maximum(pred, 1e-30)
+            reject = (pred <= 0.0) | (rho < p.eta1)
+            grow = (rho > p.eta2) & (step_norm >= radius * 0.99)
+            radius_next = clamp(
+                jnp.where(reject, radius * p.gamma_decrease,
+                          jnp.where(grow, radius * p.gamma_increase, radius))
+            )
+            return s._replace(
+                T=jnp.where(reject, s.T, T_new),
+                it=s.it + 1,
+                converged=jnp.where(reject, False, _is_converged(params, step)),
+                trust_radius=radius_next,
+                H=H, b=g,
+                error=jnp.where(reject, cur_err, new_err),
+                inlier=jnp.where(reject, inlier, new_inl),
+                H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
+            )
+
+        raise ValueError(params.optimization_method)
+
+    def cond(s: _LoopState):
+        return (s.it < params.max_iterations) & ~s.converged
+
+    z6 = jnp.zeros((6,), jnp.float32)
+    z66 = jnp.zeros((6, 6), jnp.float32)
+    init = _LoopState(
+        T=T0,
+        it=jnp.int32(0),
+        converged=jnp.bool_(False),
+        lm_lambda=jnp.float32(params.lm.init_lambda),
+        trust_radius=jnp.float32(params.dogleg.initial_trust_region_radius),
+        H=z66, b=z6, error=jnp.float32(0.0), inlier=jnp.int32(0),
+        H_raw=z66, b_raw=z6, error_raw=jnp.float32(0.0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return RegistrationResult(
+        T=out.T, converged=out.converged, iterations=out.it,
+        H=out.H, b=out.b, error=out.error, inlier=out.inlier,
+        H_raw=out.H_raw, b_raw=out.b_raw, error_raw=out.error_raw,
+    )
+
+
+def compute_linearized_result(
+    source: PointCloud,
+    target: PointCloud,
+    target_knn,
+    pose: jax.Array,
+    params: RegistrationParams = RegistrationParams(),
+    initial_pose: Optional[jax.Array] = None,
+    robust_scale: Optional[jax.Array] = None,
+) -> LinearizedResult:
+    """One KNN + linearize at ``pose`` (registration.hpp:312), with optional
+    degenerate regularization toward ``initial_pose`` — used by the 15-DOF
+    LIO solver."""
+    r_scale = jnp.float32(params.robust.default_scale if robust_scale is None else robust_scale)
+    src_covs_reg, tgt = _precompute_targets(params, source, target)
+    corr = _correspondences(params, target_knn, source.points, source.mask, pose, tgt)
+    alpha = _genz_alpha(corr) if params.reg_type is RegType.GENZ else jnp.float32(1.0)
+    lin = _linearize(params, pose, source.points, src_covs_reg, corr, r_scale, alpha)
+    if params.degenerate_reg is not None and initial_pose is not None:
+        from sycl_points_tpu.registration import degenerate as _degen
+
+        lin = _degen.regularize(params.degenerate_reg, lin, pose, initial_pose)
+    return lin
+
+
+def compute_icp_robust_weights(
+    source: PointCloud,
+    target: PointCloud,
+    target_knn,
+    pose: jax.Array,
+    params: RegistrationParams = RegistrationParams(),
+    robust_scale: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Per-source-point robust weights at ``pose`` (registration.hpp:412-462);
+    zero outside the correspondence gate.  Used for weighted submap
+    sampling."""
+    r_scale = jnp.float32(params.robust.default_scale if robust_scale is None else robust_scale)
+    src_covs_reg, tgt = _precompute_targets(params, source, target)
+    corr = _correspondences(params, target_knn, source.points, source.mask, pose, tgt)
+    alpha = _genz_alpha(corr) if params.reg_type is RegType.GENZ else jnp.float32(1.0)
+    rn, _ = residual_norms_only(
+        params.reg_type, pose, source.points, corr.points,
+        src_covs_reg=src_covs_reg, tgt_covs_reg=corr.covs_reg,
+        tgt_covs_raw=corr.covs_raw, tgt_normals=corr.normals,
+        genz_planar=corr.planar, genz_alpha=alpha,
+    )
+    w = compute_weight(params.robust.type, rn, r_scale)
+    return jnp.where(corr.mask, w, 0.0)

@@ -1,0 +1,70 @@
+"""Brute-force KNN vs scipy cKDTree oracle (mirrors the reference
+tests/test_kdtree.cpp CompareWithBruteForce strategy)."""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+import jax.numpy as jnp
+
+from sycl_points_tpu.ops.knn import BruteForceKNN, brute_force_knn
+from sycl_points_tpu.utils import lie
+
+RNG = np.random.default_rng(5)
+
+
+def random_cloud(n, scale=10.0):
+    return (RNG.normal(size=(n, 3)) * scale).astype(np.float32)
+
+
+@pytest.mark.parametrize("m,q,k", [(1000, 100, 1), (1000, 100, 10), (257, 33, 5), (5000, 1000, 20)])
+def test_matches_ckdtree(m, q, k):
+    tgt = random_cloud(m)
+    qry = random_cloud(q)
+    res = brute_force_knn(
+        jnp.asarray(tgt), jnp.ones(m, bool), jnp.asarray(qry), k, chunk=256
+    )
+    d_ref, i_ref = cKDTree(tgt).query(qry, k=k)
+    d_ref = d_ref.reshape(q, k)
+    i_ref = i_ref.reshape(q, k)
+    np.testing.assert_allclose(np.asarray(res.distances), d_ref**2, rtol=1e-3, atol=1e-3)
+    # indices may differ on exact ties; compare distances per slot instead
+    got_d = np.linalg.norm(tgt[np.asarray(res.indices)] - qry[:, None], axis=-1)
+    np.testing.assert_allclose(got_d, d_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_masked_targets_excluded():
+    tgt = random_cloud(100)
+    mask = np.ones(100, bool)
+    mask[::2] = False
+    qry = tgt[::2]  # queries at masked positions
+    res = brute_force_knn(jnp.asarray(tgt), jnp.asarray(mask), jnp.asarray(qry), 1)
+    assert np.all(mask[np.asarray(res.indices[:, 0])])
+
+
+def test_pose_folding():
+    tgt = random_cloud(500)
+    src = random_cloud(200)
+    T = np.asarray(lie.se3_exp(jnp.asarray([0.1, -0.2, 0.3, 1.0, -2.0, 0.5], dtype=np.float32)))
+    tree = BruteForceKNN(jnp.asarray(tgt), jnp.ones(500, bool))
+    res = tree.search(jnp.asarray(src), 1, pose=jnp.asarray(T))
+    moved = src @ T[:3, :3].T + T[:3, 3]
+    d_ref, i_ref = cKDTree(tgt).query(moved, k=1)
+    np.testing.assert_array_equal(np.asarray(res.indices[:, 0]), i_ref)
+    np.testing.assert_allclose(np.asarray(res.distances[:, 0]), d_ref**2, rtol=1e-3, atol=1e-4)
+
+
+def test_radius_search():
+    tgt = random_cloud(1000, scale=1.0)
+    qry = random_cloud(50, scale=1.0)
+    tree = BruteForceKNN(jnp.asarray(tgt), jnp.ones(1000, bool))
+    r = 0.5
+    res = tree.radius_search(jnp.asarray(qry), r, max_k=20)
+    kd = cKDTree(tgt)
+    for i, lst in enumerate(kd.query_ball_point(qry, r)):
+        got = set(int(x) for x in np.asarray(res.indices[i]) if x >= 0)
+        ref = set(lst)
+        if len(ref) <= 20:
+            assert got == ref
+        else:
+            assert got.issubset(ref) and len(got) == 20
