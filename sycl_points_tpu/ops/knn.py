@@ -36,7 +36,7 @@ class KNNResult(NamedTuple):
     distances: jax.Array  # [Q, k] float32 squared L2 (inf where missing)
 
 
-_BIG = jnp.float32(jnp.inf)
+_BIG = float("inf")  # plain float: no backend init at import time
 
 
 def _pairwise_sqdist(q: jax.Array, t: jax.Array) -> jax.Array:

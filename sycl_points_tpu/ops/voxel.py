@@ -66,9 +66,21 @@ def voxel_downsample(
     """Voxel-grid downsampling (VoxelGrid::downsampling,
     voxel_downsampling.hpp:50-79). Jittable; output capacity is static
     (defaults to the input capacity)."""
+    coords, ok = voxel_coords(cloud.points, cloud.mask, voxel_size)
+    return downsample_by_coords(cloud, coords, ok, min_voxel_count, out_capacity)
+
+
+def downsample_by_coords(
+    cloud: PointCloud,
+    coords: jax.Array,
+    ok: jax.Array,
+    min_voxel_count: int = 1,
+    out_capacity: Optional[int] = None,
+) -> PointCloud:
+    """Shared sort/segment-reduce aggregation over integer bin coordinates
+    (used by both the Cartesian voxel grid and the polar grid)."""
     N = cloud.capacity
     out_cap = out_capacity or N
-    coords, ok = voxel_coords(cloud.points, cloud.mask, voxel_size)
 
     # Lexicographic device sort; invalid points share the sentinel and sort
     # to the tail as one segment with zero weight.
