@@ -1,0 +1,286 @@
+"""Persistent HBM voxel hash map (submapping backend).
+
+Replaces ``algorithms/mapping/voxel_hash_map.hpp`` of fateshelled/sycl_points.
+The reference maintains a GPU open-addressing table updated with
+work-group-local bitonic sort + CAS/atomic global merges
+(voxel_hash_map.hpp:574-792).  TPUs have no useful global atomics, so the
+TPU-native insert is:
+
+  1. per-frame pre-aggregation by device sort + segment-reduce (the same
+     math the reference does in work-group local memory), producing at most
+     one contribution per voxel key;
+  2. a *scatter-claim* probe loop replacing CAS: each unresolved unique key
+     writes its ticket into a claim array at its probe slot; re-reading
+     decides the winner.  <= MAX_PROBES unrolled rounds resolve every key
+     (double hashing, power-of-two capacity).
+
+Voxel payload matches the reference accumulators (voxel_hash_map.hpp:255-288):
+position sum + count, **log-Euclidean covariance sums** (covariances rotated
+into the map frame, matrix-log'ed before summing, matrix-exp'ed on
+extraction), RGBA sums, intensity sum, last-update stamp for staleness
+pruning (voxel_hash_map.hpp:794-845).  Rehashing is replaced by a generous
+static capacity (fixed shapes; ~44 B/slot core payload).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sycl_points_tpu.ops.voxel import _SENTINEL, voxel_coords
+from sycl_points_tpu.points.point_cloud import PointCloud
+from sycl_points_tpu.utils import eigh3
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelHashMapConfig:
+    voxel_size: float = 1.0
+    capacity: int = 1 << 18  # slots (power of two)
+    max_probes: int = 32
+    min_num_point: int = 1
+    max_staleness: int = 100
+    remove_old_data_cycle: int = 10
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VoxelHashMapState:
+    coords: jax.Array  # [C, 3] int32 voxel coords; _SENTINEL when empty
+    used: jax.Array  # [C] bool
+    sum_pos: jax.Array  # [C, 3]
+    count: jax.Array  # [C] float32
+    sum_logcov: jax.Array  # [C, 6] upper-tri of summed log-covariances
+    sum_rgba: jax.Array  # [C, 4]
+    sum_intensity: jax.Array  # [C]
+    last_update: jax.Array  # [C] int32 frame stamp
+    frame: jax.Array  # scalar int32
+
+
+_TRI = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def _tri_pack(M: jax.Array) -> jax.Array:
+    return jnp.stack([M[..., i, j] for i, j in _TRI], axis=-1)
+
+
+def _tri_unpack(v: jax.Array) -> jax.Array:
+    xx, xy, xz, yy, yz, zz = (v[..., i] for i in range(6))
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        axis=-2,
+    )
+
+
+def create(config: VoxelHashMapConfig) -> VoxelHashMapState:
+    C = config.capacity
+    return VoxelHashMapState(
+        coords=jnp.full((C, 3), _SENTINEL, jnp.int32),
+        used=jnp.zeros((C,), bool),
+        sum_pos=jnp.zeros((C, 3), jnp.float32),
+        count=jnp.zeros((C,), jnp.float32),
+        sum_logcov=jnp.zeros((C, 6), jnp.float32),
+        sum_rgba=jnp.zeros((C, 4), jnp.float32),
+        sum_intensity=jnp.zeros((C,), jnp.float32),
+        last_update=jnp.zeros((C,), jnp.int32),
+        frame=jnp.int32(0),
+    )
+
+
+def _hash(coords: jax.Array, capacity: int):
+    """Double-hashing probe parameters from 3 int32 voxel coords."""
+    c = coords.astype(jnp.uint32)
+    h1 = (c[..., 0] * jnp.uint32(73856093)) ^ (c[..., 1] * jnp.uint32(19349669)) ^ (
+        c[..., 2] * jnp.uint32(83492791)
+    )
+    h2 = (h1 * jnp.uint32(2654435761)) | jnp.uint32(1)  # odd step => full cycle
+    mask = jnp.uint32(capacity - 1)
+    return h1 & mask, h2
+
+
+def _probe_slots(h1, h2, probe: int, capacity: int):
+    return ((h1 + jnp.uint32(probe) * h2) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+
+def _resolve_slots(state, config, keys, valid):
+    """Find-or-claim a table slot for each unique key.  Returns
+    (coords', used', slot [M] (=-1 unresolved), resolved [M])."""
+    C = config.capacity
+    M = keys.shape[0]
+    h1, h2 = _hash(keys, C)
+    coords_tbl = state.coords
+    used = state.used
+    slot_out = jnp.full((M,), -1, jnp.int32)
+    unresolved = valid
+    seg_ids = jnp.arange(M, dtype=jnp.int32)
+
+    for probe in range(config.max_probes):
+        cand = _probe_slots(h1, h2, probe, C)
+        occ = used[cand]
+        occ_keys = coords_tbl[cand]
+        match = occ & jnp.all(occ_keys == keys, axis=-1)
+        free = ~occ
+
+        hit = unresolved & match
+        try_claim = unresolved & free
+        # scatter-claim: losers see another ticket and keep probing
+        claim = jnp.full((C,), -1, jnp.int32)
+        claim = claim.at[jnp.where(try_claim, cand, C)].set(seg_ids, mode="drop")
+        winner = try_claim & (claim[cand] == seg_ids)
+
+        resolved_now = hit | winner
+        slot_out = jnp.where(resolved_now, cand, slot_out)
+        w_idx = jnp.where(winner, cand, C)
+        coords_tbl = coords_tbl.at[w_idx].set(keys, mode="drop")
+        used = used.at[w_idx].set(True, mode="drop")
+        unresolved = unresolved & ~resolved_now
+
+    return coords_tbl, used, slot_out, valid & ~unresolved
+
+
+def add_point_cloud(
+    state: VoxelHashMapState,
+    config: VoxelHashMapConfig,
+    cloud: PointCloud,
+    sensor_pose: jax.Array,
+) -> VoxelHashMapState:
+    """Insert a sensor-frame cloud at ``sensor_pose`` (VoxelHashMap::
+    add_point_cloud, voxel_hash_map.hpp:117-140, 614-792).  Jittable."""
+    N = cloud.capacity
+    R = sensor_pose[:3, :3]
+    pts_map = cloud.points @ R.T + sensor_pose[:3, 3]
+    coords, ok = voxel_coords(pts_map, cloud.mask, config.voxel_size)
+
+    # Per-point payload in map frame.
+    if cloud.covs is not None:
+        cov_map = jnp.einsum("ij,njk,lk->nil", R, cloud.covs, R, precision="highest")
+        logcov = _tri_pack(eigh3.spd_log(cov_map))
+    else:
+        logcov = jnp.zeros((N, 6), jnp.float32)
+    rgba = cloud.rgb if cloud.rgb is not None else jnp.zeros((N, 4), jnp.float32)
+    inten = cloud.intensities if cloud.intensities is not None else jnp.zeros((N,), jnp.float32)
+
+    # Frame-local pre-aggregation: sort by key, segment-reduce all payloads.
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords_s = coords[order]
+    prev = jnp.roll(coords_s, 1, axis=0)
+    new_seg = jnp.any(coords_s != prev, axis=-1).at[0].set(True)
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    w = ok[order].astype(jnp.float32)
+
+    def seg(x):
+        return jax.ops.segment_sum(x, seg_id, num_segments=N)
+
+    agg_pos = seg(pts_map[order] * w[:, None])
+    agg_cnt = seg(w)
+    agg_logcov = seg(logcov[order] * w[:, None])
+    agg_rgba = seg(rgba[order] * w[:, None])
+    agg_int = seg(inten[order] * w)
+
+    # Representative key per segment (first sorted element of the segment).
+    first_of_seg = jnp.full((N,), N - 1, jnp.int32).at[seg_id].min(jnp.arange(N, dtype=jnp.int32))
+    seg_keys = coords_s[first_of_seg]
+    seg_valid = agg_cnt > 0.0
+
+    coords_tbl, used, slot, resolved = _resolve_slots(state, config, seg_keys, seg_valid)
+    tgt = jnp.where(resolved, slot, config.capacity)
+
+    return VoxelHashMapState(
+        coords=coords_tbl,
+        used=used,
+        sum_pos=state.sum_pos.at[tgt].add(agg_pos, mode="drop"),
+        count=state.count.at[tgt].add(agg_cnt, mode="drop"),
+        sum_logcov=state.sum_logcov.at[tgt].add(agg_logcov, mode="drop"),
+        sum_rgba=state.sum_rgba.at[tgt].add(agg_rgba, mode="drop"),
+        sum_intensity=state.sum_intensity.at[tgt].add(agg_int, mode="drop"),
+        last_update=state.last_update.at[tgt].set(state.frame, mode="drop"),
+        frame=state.frame + 1,
+    )
+
+
+def remove_old_data(state: VoxelHashMapState, config: VoxelHashMapConfig) -> VoxelHashMapState:
+    """Staleness pruning (voxel_hash_map.hpp:794-845): clear slots not
+    touched within ``max_staleness`` frames."""
+    age = state.frame - 1 - state.last_update
+    stale = state.used & (age > config.max_staleness)
+    keep = ~stale
+    kf = keep.astype(jnp.float32)
+    return dataclasses.replace(
+        state,
+        coords=jnp.where(keep[:, None], state.coords, _SENTINEL),
+        used=state.used & keep,
+        sum_pos=state.sum_pos * kf[:, None],
+        count=state.count * kf,
+        sum_logcov=state.sum_logcov * kf[:, None],
+        sum_rgba=state.sum_rgba * kf[:, None],
+        sum_intensity=state.sum_intensity * kf,
+        last_update=jnp.where(keep, state.last_update, 0),
+    )
+
+
+def voxel_count(state: VoxelHashMapState) -> jax.Array:
+    return jnp.sum(state.used.astype(jnp.int32))
+
+
+def extract(
+    state: VoxelHashMapState,
+    config: VoxelHashMapConfig,
+    center: jax.Array,
+    distance: float = 100.0,
+    out_capacity: int = 1 << 15,
+    with_covs: bool = True,
+    with_rgb: bool = False,
+    with_intensity: bool = False,
+) -> PointCloud:
+    """Aggregate voxels within the L-inf bounding box around ``center`` into
+    a cloud (VoxelHashMap::downsampling, voxel_hash_map.hpp:936-1065):
+    centroid, matrix-exp of the averaged log-covariance, attribute means,
+    ``min_num_point`` filtering.  Output capacity is static."""
+    cnt_safe = jnp.maximum(state.count, 1.0)
+    centroid = state.sum_pos / cnt_safe[:, None]
+    lo = center - distance
+    hi = center + distance
+    inside = jnp.all((centroid >= lo) & (centroid <= hi), axis=-1)
+    keep = state.used & (state.count >= config.min_num_point) & inside
+
+    order = jnp.argsort(~keep, stable=True)[:out_capacity]
+    n_valid = jnp.sum(keep.astype(jnp.int32))
+    mask = jnp.arange(out_capacity) < n_valid
+
+    pts = centroid[order]
+    covs = None
+    if with_covs:
+        covs = eigh3.spd_exp(_tri_unpack(state.sum_logcov[order] / cnt_safe[order, None]))
+    rgb = state.sum_rgba[order] / cnt_safe[order, None] if with_rgb else None
+    inten = state.sum_intensity[order] / cnt_safe[order] if with_intensity else None
+    return PointCloud(points=pts, mask=mask, covs=covs, rgb=rgb, intensities=inten)
+
+
+def compute_overlap_ratio(
+    state: VoxelHashMapState,
+    config: VoxelHashMapConfig,
+    cloud: PointCloud,
+    sensor_pose: jax.Array,
+) -> jax.Array:
+    """Fraction of cloud points whose voxel exists in the map
+    (voxel_hash_map.hpp:194-246)."""
+    R = sensor_pose[:3, :3]
+    pts_map = cloud.points @ R.T + sensor_pose[:3, 3]
+    coords, ok = voxel_coords(pts_map, cloud.mask, config.voxel_size)
+    h1, h2 = _hash(coords, config.capacity)
+    found = jnp.zeros(coords.shape[0], bool)
+    open_slot = jnp.zeros(coords.shape[0], bool)
+    for probe in range(config.max_probes):
+        cand = _probe_slots(h1, h2, probe, config.capacity)
+        occ = state.used[cand]
+        match = occ & jnp.all(state.coords[cand] == coords, axis=-1)
+        found = found | (ok & ~open_slot & match)
+        open_slot = open_slot | ~occ  # empty slot terminates the probe chain
+    n = jnp.maximum(jnp.sum(cloud.mask.astype(jnp.float32)), 1.0)
+    return jnp.sum(found.astype(jnp.float32)) / n
