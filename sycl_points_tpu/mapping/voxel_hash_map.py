@@ -30,6 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from sycl_points_tpu.mapping.hash_table import lookup_slots, resolve_slots
 from sycl_points_tpu.ops.voxel import _SENTINEL, voxel_coords
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import eigh3
@@ -93,57 +94,6 @@ def create(config: VoxelHashMapConfig) -> VoxelHashMapState:
     )
 
 
-def _hash(coords: jax.Array, capacity: int):
-    """Double-hashing probe parameters from 3 int32 voxel coords."""
-    c = coords.astype(jnp.uint32)
-    h1 = (c[..., 0] * jnp.uint32(73856093)) ^ (c[..., 1] * jnp.uint32(19349669)) ^ (
-        c[..., 2] * jnp.uint32(83492791)
-    )
-    h2 = (h1 * jnp.uint32(2654435761)) | jnp.uint32(1)  # odd step => full cycle
-    mask = jnp.uint32(capacity - 1)
-    return h1 & mask, h2
-
-
-def _probe_slots(h1, h2, probe: int, capacity: int):
-    return ((h1 + jnp.uint32(probe) * h2) & jnp.uint32(capacity - 1)).astype(jnp.int32)
-
-
-def _resolve_slots(state, config, keys, valid):
-    """Find-or-claim a table slot for each unique key.  Returns
-    (coords', used', slot [M] (=-1 unresolved), resolved [M])."""
-    C = config.capacity
-    M = keys.shape[0]
-    h1, h2 = _hash(keys, C)
-    coords_tbl = state.coords
-    used = state.used
-    slot_out = jnp.full((M,), -1, jnp.int32)
-    unresolved = valid
-    seg_ids = jnp.arange(M, dtype=jnp.int32)
-
-    for probe in range(config.max_probes):
-        cand = _probe_slots(h1, h2, probe, C)
-        occ = used[cand]
-        occ_keys = coords_tbl[cand]
-        match = occ & jnp.all(occ_keys == keys, axis=-1)
-        free = ~occ
-
-        hit = unresolved & match
-        try_claim = unresolved & free
-        # scatter-claim: losers see another ticket and keep probing
-        claim = jnp.full((C,), -1, jnp.int32)
-        claim = claim.at[jnp.where(try_claim, cand, C)].set(seg_ids, mode="drop")
-        winner = try_claim & (claim[cand] == seg_ids)
-
-        resolved_now = hit | winner
-        slot_out = jnp.where(resolved_now, cand, slot_out)
-        w_idx = jnp.where(winner, cand, C)
-        coords_tbl = coords_tbl.at[w_idx].set(keys, mode="drop")
-        used = used.at[w_idx].set(True, mode="drop")
-        unresolved = unresolved & ~resolved_now
-
-    return coords_tbl, used, slot_out, valid & ~unresolved
-
-
 def add_point_cloud(
     state: VoxelHashMapState,
     config: VoxelHashMapConfig,
@@ -188,7 +138,9 @@ def add_point_cloud(
     seg_keys = coords_s[first_of_seg]
     seg_valid = agg_cnt > 0.0
 
-    coords_tbl, used, slot, resolved = _resolve_slots(state, config, seg_keys, seg_valid)
+    coords_tbl, used, slot, resolved = resolve_slots(
+        state.coords, state.used, seg_keys, seg_valid, config.capacity, config.max_probes
+    )
     tgt = jnp.where(resolved, slot, config.capacity)
 
     return VoxelHashMapState(
@@ -273,14 +225,8 @@ def compute_overlap_ratio(
     R = sensor_pose[:3, :3]
     pts_map = cloud.points @ R.T + sensor_pose[:3, 3]
     coords, ok = voxel_coords(pts_map, cloud.mask, config.voxel_size)
-    h1, h2 = _hash(coords, config.capacity)
-    found = jnp.zeros(coords.shape[0], bool)
-    open_slot = jnp.zeros(coords.shape[0], bool)
-    for probe in range(config.max_probes):
-        cand = _probe_slots(h1, h2, probe, config.capacity)
-        occ = state.used[cand]
-        match = occ & jnp.all(state.coords[cand] == coords, axis=-1)
-        found = found | (ok & ~open_slot & match)
-        open_slot = open_slot | ~occ  # empty slot terminates the probe chain
+    _, found = lookup_slots(
+        state.coords, state.used, coords, ok, config.capacity, config.max_probes
+    )
     n = jnp.maximum(jnp.sum(cloud.mask.astype(jnp.float32)), 1.0)
     return jnp.sum(found.astype(jnp.float32)) / n
