@@ -43,7 +43,11 @@ def _take(cloud: PointCloud, idx: jax.Array, valid: jax.Array) -> PointCloud:
 
 
 def random_sampling(cloud: PointCloud, num: int, key: jax.Array) -> PointCloud:
-    """Uniform sampling without replacement to ``num`` points."""
+    """Uniform sampling without replacement to ``num`` points.  When ``num``
+    covers the whole capacity the cloud is returned unchanged (the reference
+    samplers keep all points when the request exceeds the cloud size)."""
+    if num >= cloud.capacity:
+        return cloud
     g = jax.random.gumbel(key, (cloud.capacity,))
     score = jnp.where(cloud.mask, g, _NEG)
     _, idx = jax.lax.top_k(score, num)
@@ -58,6 +62,8 @@ def weighted_sampling(
     """Weighted sampling without replacement (Efraimidis-Spirakis
     distribution via Gumbel top-k).  Non-positive/invalid weights are
     excluded, matching the reference weight validation."""
+    if num >= cloud.capacity:
+        return cloud
     w_ok = cloud.mask & (weights > 0.0) & jnp.isfinite(weights)
     g = jax.random.gumbel(key, (cloud.capacity,))
     score = jnp.where(w_ok, jnp.log(jnp.maximum(weights, 1e-30)) + g, _NEG)
@@ -76,6 +82,8 @@ def mixed_sampling(
 ) -> PointCloud:
     """``weighted_ratio`` of the draw weighted, remainder uniform from the
     unselected points (mixed_random_sampling_operator.hpp)."""
+    if num >= cloud.capacity:
+        return cloud
     n_weighted = int(round(num * weighted_ratio))
     n_uniform = num - n_weighted
     k1, k2 = jax.random.split(key)
@@ -109,6 +117,8 @@ def mixed_sampling(
 def farthest_point_sampling(cloud: PointCloud, num: int, key: jax.Array) -> PointCloud:
     """Iterative FPS (farthest_point_sampling_operator.hpp:27-91): device
     min-distance update + argmax per round, O(num * N) on the VPU."""
+    if num >= cloud.capacity:
+        return cloud
     pts = cloud.points
     n = cloud.capacity
     valid = cloud.mask

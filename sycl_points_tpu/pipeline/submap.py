@@ -1,0 +1,178 @@
+"""Submap management: keyframing + map insertion + target preparation.
+
+Replaces ``pipeline/submapping.hpp:18-248`` of fateshelled/sycl_points:
+keyframe policy (distance >= 2 m OR angle >= 20 deg OR dt >= 1 s; always for
+the occupancy backend; inlier-ratio gate), per-keyframe weighted/uniform
+sampling to ``point_random_sampling_num`` points, insertion into the
+VoxelHashMap or OccupancyGridMap, submap extraction within range, KNN
+structure rebuild and covariance/normal estimation per registration-type
+needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sycl_points_tpu.mapping import occupancy_grid as og
+from sycl_points_tpu.mapping import voxel_hash_map as vhm
+from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals
+from sycl_points_tpu.ops.knn import BruteForceKNN, brute_force_knn
+from sycl_points_tpu.ops.sampling import mixed_sampling, random_sampling
+from sycl_points_tpu.ops.transform import transform_cloud
+from sycl_points_tpu.points.point_cloud import PointCloud, compact_device
+from sycl_points_tpu.pipeline.params import CommonParameters
+from sycl_points_tpu.registration.factors import RegType
+from sycl_points_tpu.utils import lie
+
+
+class Submap:
+    def __init__(self, params: CommonParameters):
+        self.params = params
+        sp = params.submap
+        self.is_occupancy = sp.map_type.upper() == "OCCUPANCY_GRID_MAP"
+        if self.is_occupancy:
+            ogp = sp.occupancy_grid_map
+            self.og_config = og.OccupancyGridConfig(
+                voxel_size=sp.voxel_size,
+                capacity=sp.map_capacity,
+                log_odds_hit=ogp.log_odds_hit,
+                log_odds_miss=ogp.log_odds_miss,
+                min_log_odds=ogp.log_odds_limits_min,
+                max_log_odds=ogp.log_odds_limits_max,
+                occupancy_threshold_log_odds=og.probability_to_log_odds(ogp.occupied_threshold),
+                stale_frame_threshold=ogp.stale_frame_threshold,
+                free_space_updates_enabled=ogp.enable_free_space_updates,
+                voxel_pruning_enabled=ogp.enable_pruning,
+            )
+            self.map_state = og.create(self.og_config)
+        else:
+            self.vhm_config = vhm.VoxelHashMapConfig(
+                voxel_size=sp.voxel_size, capacity=sp.map_capacity
+            )
+            self.map_state = vhm.create(self.vhm_config)
+
+        initial = np.asarray(params.pose.initial_matrix())
+        self.last_keyframe_pose = initial
+        self.last_keyframe_time = -1.0
+        self.keyframe_poses: List[np.ndarray] = [initial]
+        self._key = jax.random.key(4321)
+
+        self.submap_cloud: Optional[PointCloud] = None
+        self.submap_knn: Optional[BruteForceKNN] = None
+        self.last_keyframe_cloud: Optional[PointCloud] = None
+
+        reg_type = params.registration.factor.reg_type
+        self._need_covs = (
+            reg_type in (RegType.GICP, RegType.POINT_TO_DISTRIBUTION, RegType.GENZ)
+            or params.registration.factor.rotation_constraint.enable
+        )
+        self._need_normals = reg_type in (RegType.POINT_TO_PLANE, RegType.GENZ)
+
+    # ------------------------------------------------------------------
+    def add_first_frame(self, cloud: PointCloud, timestamp: float, current_pose: np.ndarray):
+        """submapping.hpp:85-97."""
+        self.last_keyframe_pose = np.asarray(current_pose)
+        self.keyframe_poses = [self.last_keyframe_pose]
+        self._build_submap(cloud, self.last_keyframe_pose, is_first_frame=True)
+        self.last_keyframe_time = timestamp
+
+    def add_frame(
+        self,
+        cloud: PointCloud,
+        reg_T: np.ndarray,
+        reg_result,
+        inlier_ratio: float,
+        timestamp: float,
+        sampling_weights=None,
+    ) -> bool:
+        """submapping.hpp:99-121: inlier gate, keyframe policy, insertion."""
+        kf = self.params.submap.keyframe
+        if kf.inlier_ratio_threshold > 0.0 and inlier_ratio <= kf.inlier_ratio_threshold:
+            return False
+        if self.is_occupancy:
+            self._build_submap(cloud, reg_T, False, sampling_weights)
+            return True
+        if self._is_keyframe(reg_T, timestamp):
+            self.last_keyframe_pose = np.asarray(reg_T)
+            self.last_keyframe_time = timestamp
+            self.keyframe_poses.append(self.last_keyframe_pose)
+            self._build_submap(cloud, reg_T, False, sampling_weights)
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def _is_keyframe(self, T: np.ndarray, timestamp: float) -> bool:
+        delta = np.linalg.inv(self.last_keyframe_pose) @ np.asarray(T)
+        dist = float(np.linalg.norm(delta[:3, 3]))
+        tw = np.asarray(lie.se3_log(jnp.asarray(delta, dtype=jnp.float32)))
+        angle = float(np.linalg.norm(tw[:3])) * 180.0 / np.pi
+        dt = (
+            timestamp - self.last_keyframe_time
+            if self.last_keyframe_time > 0.0
+            else float("inf")
+        )
+        kf = self.params.submap.keyframe
+        return (
+            dist >= kf.distance_threshold
+            or angle >= kf.angle_threshold_degrees
+            or dt >= kf.time_threshold_seconds
+        )
+
+    def _build_submap(self, cloud, pose, is_first_frame, weights=None):
+        """submapping.hpp:163-247: sample -> insert -> extract -> KNN/cov."""
+        sp = self.params.submap
+        self._key, k1 = jax.random.split(self._key)
+        num = sp.point_random_sampling_num
+        if weights is not None:
+            sampled = mixed_sampling(cloud, num, weights, k1, sp.weighted_sampling_ratio)
+        else:
+            sampled = random_sampling(cloud, num, k1)
+        self.last_keyframe_cloud = sampled
+        pose_j = jnp.asarray(pose, dtype=jnp.float32)
+
+        if self.is_occupancy:
+            self.map_state = og.add_point_cloud(self.map_state, self.og_config, sampled, pose_j)
+            extracted = og.extract_occupied_points(
+                self.map_state, self.og_config, pose_j[:3, 3],
+                sp.max_distance_range, out_capacity=sp.extract_capacity,
+            )
+        else:
+            self.map_state = vhm.add_point_cloud(self.map_state, self.vhm_config, sampled, pose_j)
+            extracted = vhm.extract(
+                self.map_state, self.vhm_config, pose_j[:3, 3],
+                sp.max_distance_range, out_capacity=sp.extract_capacity,
+                with_covs=False,
+            )
+
+        if is_first_frame:
+            target = transform_cloud(
+                compact_device(cloud, out_capacity=sp.extract_capacity), pose_j
+            )
+        elif int(extracted.count()) >= self.params.registration.min_num_points:
+            target = extracted
+        else:
+            target = self.submap_cloud  # keep the previous submap
+
+        self.submap_cloud = self._finalize_target(target)
+        self.submap_knn = BruteForceKNN.build(self.submap_cloud)
+
+    def _finalize_target(self, cloud: PointCloud) -> PointCloud:
+        if not (self._need_covs or self._need_normals):
+            return cloud
+        k = self.params.covariance_estimation.neighbor_num
+        knn = jax.jit(partial(brute_force_knn, k=k))(cloud.points, cloud.mask, cloud.points)
+        covs = cloud.covs
+        if covs is None:
+            covs = estimate_covariances(cloud.points, knn)
+        normals = cloud.normals
+        if self._need_normals and normals is None:
+            normals = extract_normals(cloud.points, covs)
+        return cloud.replace(
+            covs=covs if self._need_covs or self._need_normals else None,
+            normals=normals,
+        )

@@ -150,14 +150,20 @@ def compact_device(cloud: PointCloud, out_capacity: Optional[int] = None) -> Poi
     """
     cap = cloud.capacity
     out_cap = out_capacity or cap
-    order = jnp.argsort(~cloud.mask, stable=True)[:out_cap]
-    n_valid = jnp.sum(cloud.mask.astype(jnp.int32))
+    order = jnp.argsort(~cloud.mask, stable=True)[: min(out_cap, cap)]
+    n_valid = jnp.minimum(jnp.sum(cloud.mask.astype(jnp.int32)), out_cap)
     new_mask = jnp.arange(out_cap) < n_valid
+    pad = out_cap - order.shape[0]  # growing: zero-pad the gathered rows
 
     def take(arr):
         if arr is None:
             return None
-        return jnp.take(arr, order, axis=0)
+        out = jnp.take(arr, order, axis=0)
+        if pad > 0:
+            out = jnp.concatenate(
+                [out, jnp.zeros((pad,) + out.shape[1:], out.dtype)], axis=0
+            )
+        return out
 
     return PointCloud(
         points=take(cloud.points),
