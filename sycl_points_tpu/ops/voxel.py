@@ -28,7 +28,11 @@ from sycl_points_tpu.points.point_cloud import PointCloud
 COORD_BITS = 21
 COORD_OFFSET = 1 << (COORD_BITS - 1)
 COORD_MASK = (1 << COORD_BITS) - 1
-_SENTINEL = jnp.int32(2**31 - 1)  # invalid-voxel coordinate (sorts last)
+# Invalid-voxel coordinate (sorts last).  A plain Python int: a `jnp.int32`
+# here would be a module-level device array that every jit capturing it embeds
+# as a program *constant* — on the axon TPU runtime, executables with constvar
+# inputs pay a ~30 ms per-call penalty (measured) and destabilize the tunnel.
+_SENTINEL = 2**31 - 1
 
 
 def voxel_coords(points: jax.Array, valid: jax.Array, voxel_size: float | jax.Array):
