@@ -157,3 +157,9 @@ class GridKNN:
             jnp.where(within, res.indices, -1),
             jnp.where(within, res.distances, _BIG),
         )
+
+    def remove_points(self, keep: jax.Array) -> "GridKNN":
+        """Invalidate points without rebuilding, the analog of the reference's
+        in-place ``remove_nodes_by_flags`` (knn/kdtree.hpp:721-765,
+        knn/octree.hpp:276-380).  ``keep`` is in ORIGINAL point order."""
+        return dataclasses.replace(self, mask=self.mask & keep[self.orig_idx])
