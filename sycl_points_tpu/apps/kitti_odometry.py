@@ -24,6 +24,8 @@ import jax.numpy as jnp
 from sycl_points_tpu.pipeline.lidar_odometry import LidarOdometry, ResultType
 from sycl_points_tpu.pipeline.params import (
     DownsamplingParams,
+    IMUParams,
+    LidarInertialOdometryParams,
     LidarOdometryParams,
     PolarDownsamplingParams,
     RandomDownsamplingParams,
@@ -63,6 +65,9 @@ def main(argv=None):
     ap.add_argument("--out", default="trajectory.tum")
     ap.add_argument("--config", default=None)
     ap.add_argument("--rate", type=float, default=10.0, help="scan rate [Hz]")
+    ap.add_argument("--lio", action="store_true",
+                    help="run the LiDAR-inertial pipeline (requires an IMU "
+                         "stream; without one LIO degrades to a loose prior)")
     args = ap.parse_args(argv)
 
     files = sorted(glob.glob(os.path.join(args.velodyne_dir, "*.bin")))
@@ -72,10 +77,22 @@ def main(argv=None):
         print(f"no .bin scans in {args.velodyne_dir}", file=sys.stderr)
         return 1
 
-    params = (
-        load_params(args.config, LidarOdometryParams) if args.config else default_kitti_params()
-    )
-    lo = LidarOdometry(params)
+    if args.lio:
+        from sycl_points_tpu.pipeline.lidar_inertial_odometry import LidarInertialOdometry
+
+        params = (
+            load_params(args.config, LidarInertialOdometryParams)
+            if args.config
+            else LidarInertialOdometryParams(
+                scan=default_kitti_params().scan, imu=IMUParams(enable=True)
+            )
+        )
+        lo = LidarInertialOdometry(params)
+    else:
+        params = (
+            load_params(args.config, LidarOdometryParams) if args.config else default_kitti_params()
+        )
+        lo = LidarOdometry(params)
 
     # fixed raw capacity tier for zero recompiles across frames
     first = read_kitti_bin(files[0])
@@ -107,7 +124,7 @@ def main(argv=None):
     total = time.perf_counter() - t_start
     print(f"{len(files)} frames in {total:.1f}s ({total / len(files) * 1e3:.1f} ms/frame)")
     print(f"trajectory written to {args.out}")
-    for name, us in sorted(lo.get_processing_times().items()):
+    for name, us in sorted(getattr(lo, "processing_times", {}).items()):
         print(f"  {name}: {us * 1e3:.1f} ms (last frame)")
     return 0
 
