@@ -1,0 +1,96 @@
+"""Pallas TPU kernel for 1-nearest-neighbor search (the ICP hot loop).
+
+The correspondence search (k=1) runs every ICP iteration
+(knn/bruteforce.hpp:24-96 / kdtree search in fateshelled/sycl_points).  The
+XLA path materializes the [Q, M] distance matrix in HBM between the matmul
+and the argmin; this kernel keeps everything in VMEM: each grid program owns
+a query tile, holds the whole target in VMEM (point-cloud scale fits
+easily: 32k points = 400 KB), loops over target chunks computing the
+distance block on the MXU, and folds a running (min, argmin) without ever
+writing distances back to HBM.
+
+Falls back to the XLA path on non-TPU platforms unless ``interpret=True``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sycl_points_tpu.points.point_cloud import round_up
+
+_QUERY_TILE = 256
+_TARGET_CHUNK = 512
+_BIG = 3.0e38
+
+
+def _nn1_kernel(q_ref, t_ref, tt_ref, mask_ref, d_ref, i_ref):
+    """One query tile vs the full target (chunked)."""
+    q = q_ref[:]  # [TQ, 4] (xyz + zero pad)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)  # [TQ, 1]
+    M = t_ref.shape[1]
+    n_chunks = M // _TARGET_CHUNK
+
+    def body(c, carry):
+        best_d, best_i = carry
+        sl = pl.ds(c * _TARGET_CHUNK, _TARGET_CHUNK)
+        tc = t_ref[:, sl]  # [4, C]
+        cross = jnp.dot(q, tc, preferred_element_type=jnp.float32)  # MXU [TQ, C]
+        d2 = qq + tt_ref[:, sl] - 2.0 * cross
+        d2 = jnp.where(mask_ref[:, sl] != 0, d2, _BIG)
+        cd = jnp.min(d2, axis=1)
+        ci = jnp.argmin(d2, axis=1).astype(jnp.int32) + c * _TARGET_CHUNK
+        take = cd < best_d
+        return jnp.where(take, cd, best_d), jnp.where(take, ci, best_i)
+
+    init = (jnp.full((q.shape[0],), _BIG, jnp.float32), jnp.zeros((q.shape[0],), jnp.int32))
+    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    d_ref[:] = best_d
+    i_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nn1_pallas(
+    target_points: jax.Array,  # [M, 3]
+    target_mask: jax.Array,  # [M] bool
+    query_points: jax.Array,  # [Q, 3]
+    interpret: bool = False,
+):
+    """Exact nearest neighbor: returns (indices [Q], sq_distances [Q])."""
+    Q, M = query_points.shape[0], target_points.shape[0]
+    Qp = round_up(Q, _QUERY_TILE)
+    Mp = round_up(M, _TARGET_CHUNK)
+
+    q = jnp.zeros((Qp, 4), jnp.float32).at[:Q, :3].set(query_points)
+    t = jnp.zeros((4, Mp), jnp.float32).at[:3, :M].set(target_points.T)
+    tt = jnp.zeros((1, Mp), jnp.float32).at[0, :M].set(
+        jnp.sum(target_points * target_points, axis=-1)
+    )
+    mask = jnp.zeros((1, Mp), jnp.int32).at[0, :M].set(target_mask.astype(jnp.int32))
+
+    grid = (Qp // _QUERY_TILE,)
+    d, i = pl.pallas_call(
+        _nn1_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_QUERY_TILE, 4), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, Mp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Mp), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_QUERY_TILE,), lambda g: (g,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_QUERY_TILE,), lambda g: (g,), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Qp,), jnp.float32),
+            jax.ShapeDtypeStruct((Qp,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(q, t, tt, mask)
+    d = jnp.where(d >= _BIG, jnp.inf, d)
+    return i[:Q], d[:Q]
