@@ -108,14 +108,27 @@ def main():
     t_err = float(np.linalg.norm(np.asarray(T)[:3, 3] - T_gt[:3, 3]))
     log(f"inlier={int(inlier)} error={float(error):.2f} t_err={t_err*100:.1f} cm")
 
-    warmup, iters = 3, 30
-    for _ in range(warmup):
-        jax.block_until_ready(step(src, tgt))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        jax.block_until_ready(step(src, tgt))
-    dt = (time.perf_counter() - t0) / iters
+    def timeit(fn, *a, iters=30, warmup=3):
+        for _ in range(warmup):
+            jax.block_until_ready(fn(*a))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            jax.block_until_ready(fn(*a))
+        return (time.perf_counter() - t0) / iters
+
+    dt = timeit(step, src, tgt)
     log(f"scan pair (preprocess x2 + robust GICP): {dt*1e3:.2f} ms")
+
+    # --- secondary metrics (BASELINE.json: KNN Mqueries/s, preprocess ms) ---
+    pre_fn = jax.jit(lambda c: preprocess(c, cap).points)
+    dt_pre = timeit(pre_fn, src)
+    log(f"preprocess one scan: {dt_pre*1e3:.2f} ms")
+
+    pre = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(src))
+    knn_fn = jax.jit(lambda c: brute_force_knn(c.points, c.mask, c.points, K).distances)
+    dt_knn = timeit(knn_fn, pre)
+    knn_mqps = cap * K / dt_knn / 1e6 if dt_knn > 0 else 0.0
+    log(f"self-KNN k={K} on {cap}: {dt_knn*1e3:.2f} ms ({cap/dt_knn/1e6:.1f} Mq/s)")
 
     pairs_per_sec = 1.0 / dt
     print(
@@ -127,6 +140,8 @@ def main():
                 "vs_baseline": round(pairs_per_sec / TARGET_PAIRS_PER_SEC, 3),
                 "extra": {
                     "latency_ms": round(dt * 1e3, 3),
+                    "preprocess_ms_per_scan": round(dt_pre * 1e3, 3),
+                    "knn_k10_mqueries_per_s": round(cap / dt_knn / 1e6, 2),
                     "translation_err_cm": round(t_err * 100, 2),
                     "points_after_voxel": n_vox,
                 },

@@ -121,14 +121,18 @@ def brute_force_knn(
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BruteForceKNN:
-    """Functional analog of the reference KNN interface over a target cloud."""
+    """Functional analog of the reference KNN interface over a target cloud.
+
+    ``use_pallas`` routes k=1 searches (the ICP correspondence hot loop)
+    through the VMEM-resident Pallas kernel (:mod:`.pallas_knn`)."""
 
     points: jax.Array  # [M, 3]
     mask: jax.Array  # [M]
+    use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @staticmethod
-    def build(cloud: PointCloud) -> "BruteForceKNN":
-        return BruteForceKNN(points=cloud.points, mask=cloud.mask)
+    def build(cloud: PointCloud, use_pallas: bool = False) -> "BruteForceKNN":
+        return BruteForceKNN(points=cloud.points, mask=cloud.mask, use_pallas=use_pallas)
 
     def search(
         self,
@@ -137,6 +141,13 @@ class BruteForceKNN:
         pose: Optional[jax.Array] = None,
         chunk: int = 4096,
     ) -> KNNResult:
+        if k == 1 and self.use_pallas:
+            from sycl_points_tpu.ops.pallas_knn import nn1_pallas
+            from sycl_points_tpu.ops.transform import transform_points
+
+            q = query_points if pose is None else transform_points(query_points, pose)
+            i, d = nn1_pallas(self.points, self.mask, q)
+            return KNNResult(i[:, None], d[:, None])
         return brute_force_knn(self.points, self.mask, query_points, k, pose, chunk)
 
     def radius_search(
