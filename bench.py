@@ -89,12 +89,15 @@ def main():
     tgt = PointCloud.from_numpy(tgt_np["points"])
 
     # Pick the static post-voxel capacity from the actual voxel count.
-    n_vox = int(
-        jnp.maximum(
-            voxel_downsample(box_filter(src, 0.5, 50.0), VOXEL).count(),
-            voxel_downsample(box_filter(tgt, 0.5, 50.0), VOXEL).count(),
+    # NOTE: jitted — eager execution of composite ops on the axon runtime is
+    # pathologically slow and can destabilize the device link.
+    count_fn = jax.jit(
+        lambda a, b: jnp.maximum(
+            voxel_downsample(box_filter(a, 0.5, 50.0), VOXEL).count(),
+            voxel_downsample(box_filter(b, 0.5, 50.0), VOXEL).count(),
         )
     )
+    n_vox = int(count_fn(src, tgt))
     cap = pad_capacity_for(n_vox)
     log(f"voxels: {n_vox} -> capacity {cap}")
 

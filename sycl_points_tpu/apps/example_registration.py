@@ -52,12 +52,13 @@ def main(argv=None):
     src_raw = PointCloud.from_numpy(src_np["points"])
     tgt_raw = PointCloud.from_numpy(tgt_np["points"])
 
-    n_vox = int(
-        jnp.maximum(
-            voxel_downsample(box_filter(src_raw, 0.5, 50.0), args.voxel).count(),
-            voxel_downsample(box_filter(tgt_raw, 0.5, 50.0), args.voxel).count(),
+    count_fn = jax.jit(
+        lambda a, b: jnp.maximum(
+            voxel_downsample(box_filter(a, 0.5, 50.0), args.voxel).count(),
+            voxel_downsample(box_filter(b, 0.5, 50.0), args.voxel).count(),
         )
     )
+    n_vox = int(count_fn(src_raw, tgt_raw))
     cap = pad_capacity_for(n_vox)
 
     downsample = jax.jit(
