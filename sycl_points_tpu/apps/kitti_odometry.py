@@ -35,7 +35,7 @@ from sycl_points_tpu.pipeline.params import (
 )
 from sycl_points_tpu.points.conversion import read_kitti_bin
 from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
-from sycl_points_tpu.utils import lie
+from sycl_points_tpu.utils import lie_np
 
 
 def default_kitti_params() -> LidarOdometryParams:
@@ -53,7 +53,7 @@ def default_kitti_params() -> LidarOdometryParams:
 def write_tum(path: str, stamps, poses):
     with open(path, "w") as f:
         for t, T in zip(stamps, poses):
-            q = np.asarray(lie.matrix_to_quat(jnp.asarray(T[:3, :3], dtype=jnp.float32)))
+            q = lie_np.matrix_to_quat(T[:3, :3])
             tx, ty, tz = T[:3, 3]
             f.write(f"{t:.6f} {tx:.6f} {ty:.6f} {tz:.6f} {q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}\n")
 

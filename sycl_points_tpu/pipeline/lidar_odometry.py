@@ -38,7 +38,7 @@ from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.registration.map_prior import MapPriorParams, inactive_prior, update as map_prior_update
 from sycl_points_tpu.registration.pipeline import align_pipeline, inlier_ratio
 from sycl_points_tpu.registration.registration import compute_icp_robust_weights
-from sycl_points_tpu.utils import lie
+from sycl_points_tpu.utils import lie_np
 
 
 class ResultType(enum.Enum):
@@ -233,7 +233,7 @@ class LidarOdometry:
         self.odom = np.asarray(result.T)
         self.last_frame_time = timestamp
         delta = np.linalg.inv(self.prev_odom) @ self.odom
-        tw = np.asarray(lie.se3_log(jnp.asarray(delta, dtype=jnp.float32)))
+        tw = lie_np.se3_log(delta)
         self.linear_velocity = (delta[:3, 3] / self.dt).astype(np.float32)
         self.angular_velocity = (tw[:3] / self.dt).astype(np.float32)
 

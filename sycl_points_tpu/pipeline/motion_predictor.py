@@ -17,9 +17,7 @@ from typing import Optional
 import numpy as np
 
 from sycl_points_tpu.pipeline.params import MotionPredictionParams
-from sycl_points_tpu.utils import lie
-
-import jax.numpy as jnp
+from sycl_points_tpu.utils import lie_np
 
 
 def _axis_factor(H_block: np.ndarray, inlier: int, axis) -> float:
@@ -66,7 +64,7 @@ class AdaptiveMotionPredictor:
         delta_rot = self._ang_smooth * dt * rot_factor
 
         odom = np.asarray(odom, np.float32)
-        R_delta = np.asarray(lie.quat_to_matrix(lie.so3_exp(jnp.asarray(delta_rot))))
+        R_delta = lie_np.so3_exp_matrix(delta_rot).astype(np.float32)
         out = np.eye(4, dtype=np.float32)
         out[:3, :3] = odom[:3, :3] @ R_delta
         out[:3, 3] = odom[:3, 3] + odom[:3, :3] @ delta_trans

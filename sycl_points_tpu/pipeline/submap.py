@@ -27,7 +27,7 @@ from sycl_points_tpu.ops.transform import transform_cloud
 from sycl_points_tpu.points.point_cloud import PointCloud, compact_device
 from sycl_points_tpu.pipeline.params import CommonParameters
 from sycl_points_tpu.registration.factors import RegType
-from sycl_points_tpu.utils import lie
+from sycl_points_tpu.utils import lie_np
 
 
 class Submap:
@@ -73,6 +73,55 @@ class Submap:
         )
         self._need_normals = reg_type in (RegType.POINT_TO_PLANE, RegType.GENZ)
 
+        # Cached jitted per-keyframe kernels (eager composites are slow on
+        # some runtimes and would re-dispatch dozens of ops per keyframe).
+        sp_ = params.submap
+        if self.is_occupancy:
+            self._insert_extract = jax.jit(
+                lambda st, cl, pose: (
+                    (ns := og.add_point_cloud(st, self.og_config, cl, pose)),
+                    og.extract_occupied_points(
+                        ns, self.og_config, pose[:3, 3],
+                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                    ),
+                )
+            )
+        else:
+            self._insert_extract = jax.jit(
+                lambda st, cl, pose: (
+                    (ns := vhm.add_point_cloud(st, self.vhm_config, cl, pose)),
+                    vhm.extract(
+                        ns, self.vhm_config, pose[:3, 3],
+                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                        with_covs=False,
+                    ),
+                )
+            )
+        self._sample_uniform = jax.jit(
+            lambda cl, key: random_sampling(cl, sp_.point_random_sampling_num, key)
+        )
+        self._sample_mixed = jax.jit(
+            lambda cl, w, key: mixed_sampling(
+                cl, sp_.point_random_sampling_num, w, key, sp_.weighted_sampling_ratio
+            )
+        )
+        self._first_target = jax.jit(
+            lambda cl, pose: transform_cloud(
+                compact_device(cl, out_capacity=sp_.extract_capacity), pose
+            )
+        )
+        k_ = params.covariance_estimation.neighbor_num
+
+        def _finalize(cloud):
+            knn = brute_force_knn(cloud.points, cloud.mask, cloud.points, k_)
+            covs = cloud.covs if cloud.covs is not None else estimate_covariances(cloud.points, knn)
+            normals = cloud.normals
+            if self._need_normals and normals is None:
+                normals = extract_normals(cloud.points, covs)
+            return cloud.replace(covs=covs, normals=normals)
+
+        self._finalize_jit = jax.jit(_finalize)
+
     # ------------------------------------------------------------------
     def add_first_frame(self, cloud: PointCloud, timestamp: float, current_pose: np.ndarray):
         """submapping.hpp:85-97."""
@@ -109,7 +158,7 @@ class Submap:
     def _is_keyframe(self, T: np.ndarray, timestamp: float) -> bool:
         delta = np.linalg.inv(self.last_keyframe_pose) @ np.asarray(T)
         dist = float(np.linalg.norm(delta[:3, 3]))
-        tw = np.asarray(lie.se3_log(jnp.asarray(delta, dtype=jnp.float32)))
+        tw = lie_np.se3_log(delta)  # host math: no per-frame device round trip
         angle = float(np.linalg.norm(tw[:3])) * 180.0 / np.pi
         dt = (
             timestamp - self.last_keyframe_time
@@ -125,34 +174,18 @@ class Submap:
 
     def _build_submap(self, cloud, pose, is_first_frame, weights=None):
         """submapping.hpp:163-247: sample -> insert -> extract -> KNN/cov."""
-        sp = self.params.submap
         self._key, k1 = jax.random.split(self._key)
-        num = sp.point_random_sampling_num
         if weights is not None:
-            sampled = mixed_sampling(cloud, num, weights, k1, sp.weighted_sampling_ratio)
+            sampled = self._sample_mixed(cloud, weights, k1)
         else:
-            sampled = random_sampling(cloud, num, k1)
+            sampled = self._sample_uniform(cloud, k1)
         self.last_keyframe_cloud = sampled
         pose_j = jnp.asarray(pose, dtype=jnp.float32)
 
-        if self.is_occupancy:
-            self.map_state = og.add_point_cloud(self.map_state, self.og_config, sampled, pose_j)
-            extracted = og.extract_occupied_points(
-                self.map_state, self.og_config, pose_j[:3, 3],
-                sp.max_distance_range, out_capacity=sp.extract_capacity,
-            )
-        else:
-            self.map_state = vhm.add_point_cloud(self.map_state, self.vhm_config, sampled, pose_j)
-            extracted = vhm.extract(
-                self.map_state, self.vhm_config, pose_j[:3, 3],
-                sp.max_distance_range, out_capacity=sp.extract_capacity,
-                with_covs=False,
-            )
+        self.map_state, extracted = self._insert_extract(self.map_state, sampled, pose_j)
 
         if is_first_frame:
-            target = transform_cloud(
-                compact_device(cloud, out_capacity=sp.extract_capacity), pose_j
-            )
+            target = self._first_target(cloud, pose_j)
         elif int(extracted.count()) >= self.params.registration.min_num_points:
             target = extracted
         else:
@@ -164,15 +197,4 @@ class Submap:
     def _finalize_target(self, cloud: PointCloud) -> PointCloud:
         if not (self._need_covs or self._need_normals):
             return cloud
-        k = self.params.covariance_estimation.neighbor_num
-        knn = jax.jit(partial(brute_force_knn, k=k))(cloud.points, cloud.mask, cloud.points)
-        covs = cloud.covs
-        if covs is None:
-            covs = estimate_covariances(cloud.points, knn)
-        normals = cloud.normals
-        if self._need_normals and normals is None:
-            normals = extract_normals(cloud.points, covs)
-        return cloud.replace(
-            covs=covs if self._need_covs or self._need_normals else None,
-            normals=normals,
-        )
+        return self._finalize_jit(cloud)
