@@ -70,11 +70,11 @@ def make_step(cap: int):
     )
 
     @jax.jit
-    def step(src_raw: PointCloud, tgt_raw: PointCloud):
+    def step(src_raw: PointCloud, tgt_raw: PointCloud, key):
         src = preprocess(src_raw, cap)
         tgt = preprocess(tgt_raw, cap)
         knn = BruteForceKNN.build(tgt)
-        out = align_pipeline(src, tgt, knn, params)
+        out = align_pipeline(src, tgt, knn, params, key=key)
         return out.result.T, out.result.inlier, out.result.error
 
     return step
@@ -88,50 +88,78 @@ def main():
     src = PointCloud.from_numpy(src_np["points"])
     tgt = PointCloud.from_numpy(tgt_np["points"])
 
-    # Pick the static post-voxel capacity from the actual voxel count.
-    # NOTE: jitted — eager execution of composite ops on the axon runtime is
-    # pathologically slow and can destabilize the device link.
-    count_fn = jax.jit(
-        lambda a, b: jnp.maximum(
-            voxel_downsample(box_filter(a, 0.5, 50.0), VOXEL).count(),
-            voxel_downsample(box_filter(b, 0.5, 50.0), VOXEL).count(),
-        )
-    )
-    n_vox = int(count_fn(src, tgt))
+    # Pick the static post-voxel capacity from the actual voxel count
+    # (pure host numpy: keeps the device path limited to the timed step).
+    def host_voxel_count(pts):
+        linf = np.max(np.abs(pts), axis=1)
+        pts = pts[(linf >= 0.5) & (linf <= 50.0)]
+        return len(np.unique(np.floor(pts / VOXEL).astype(np.int64), axis=0))
+
+    n_vox = max(host_voxel_count(src_np["points"]), host_voxel_count(tgt_np["points"]))
     cap = pad_capacity_for(n_vox)
     log(f"voxels: {n_vox} -> capacity {cap}")
 
     step = make_step(cap)
+    key = jax.random.key(1234)
     t0 = time.perf_counter()
-    T, inlier, error = jax.block_until_ready(step(src, tgt))
+    T, inlier, error = jax.block_until_ready(step(src, tgt, key))
     log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    # MEASUREMENT NOTE (axon runtime): block_until_ready does not reliably
+    # wait for device completion — timed loops without host readbacks report
+    # fantasy sub-ms numbers, and a device->host readback flips the session
+    # into a synchronous mode whose per-call time includes a ~30 ms tunnel
+    # round trip.  The only trustworthy protocol is: force a tiny scalar
+    # readback EVERY call (so each call provably completed) and subtract the
+    # identically-measured trivial-program floor (pure link overhead).
+
+    trivial = jax.jit(lambda x: (x * 2.0).sum())
+    ones8 = jnp.ones(8)
+
+    def timeit_sync(fn, *a, iters=16, warmup=2):
+        """Interleaved differential timing: the link floor drifts by several
+        ms, so each round times (trivial, target) back to back and the
+        reported value is the median of per-round differences."""
+        for _ in range(warmup):
+            jax.device_get(trivial(ones8))
+            jax.device_get(fn(*a))
+        deltas, raws = [], []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.device_get(trivial(ones8))
+            t1 = time.perf_counter()
+            jax.device_get(fn(*a))
+            t2 = time.perf_counter()
+            deltas.append((t2 - t1) - (t1 - t0))
+            raws.append(t2 - t1)
+        return max(float(np.median(deltas)), 1e-6), float(np.median(raws))
+
+    _, floor = timeit_sync(trivial, ones8)
+    log(f"link floor (trivial program, per-call readback): {floor*1e3:.2f} ms")
+
+    keys = jax.random.split(key, 256)
+    kiter = iter(range(256))
+
+    def step_scalar(a, b):
+        return step(a, b, keys[next(kiter)])[2]  # scalar error -> readback
+
+    dt, dt_raw = timeit_sync(step_scalar, src, tgt)
+    log(f"scan pair raw {dt_raw*1e3:.2f} ms; floor-corrected {dt*1e3:.2f} ms")
+
+    # --- secondary metrics (BASELINE.json: KNN Mqueries/s, preprocess ms) ---
+    pre_fn = jax.jit(lambda c: preprocess(c, cap).points.sum())
+    dt_pre, _ = timeit_sync(pre_fn, src)
+    log(f"preprocess one scan: {dt_pre*1e3:.2f} ms (corrected)")
+
+    pre = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(src))
+    knn_fn = jax.jit(lambda c: brute_force_knn(c.points, c.mask, c.points, K).distances.sum())
+    dt_knn, _ = timeit_sync(knn_fn, pre)
+    log(f"self-KNN k={K} on {cap}: {dt_knn*1e3:.2f} ms ({cap/dt_knn/1e6:.1f} Mq/s, corrected)")
 
     # accuracy sanity vs the committed ground truth
     T_gt = np.loadtxt(f"{REF_DATA}/T_target_source.txt")
     t_err = float(np.linalg.norm(np.asarray(T)[:3, 3] - T_gt[:3, 3]))
     log(f"inlier={int(inlier)} error={float(error):.2f} t_err={t_err*100:.1f} cm")
-
-    def timeit(fn, *a, iters=30, warmup=3):
-        for _ in range(warmup):
-            jax.block_until_ready(fn(*a))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            jax.block_until_ready(fn(*a))
-        return (time.perf_counter() - t0) / iters
-
-    dt = timeit(step, src, tgt)
-    log(f"scan pair (preprocess x2 + robust GICP): {dt*1e3:.2f} ms")
-
-    # --- secondary metrics (BASELINE.json: KNN Mqueries/s, preprocess ms) ---
-    pre_fn = jax.jit(lambda c: preprocess(c, cap).points)
-    dt_pre = timeit(pre_fn, src)
-    log(f"preprocess one scan: {dt_pre*1e3:.2f} ms")
-
-    pre = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(src))
-    knn_fn = jax.jit(lambda c: brute_force_knn(c.points, c.mask, c.points, K).distances)
-    dt_knn = timeit(knn_fn, pre)
-    knn_mqps = cap * K / dt_knn / 1e6 if dt_knn > 0 else 0.0
-    log(f"self-KNN k={K} on {cap}: {dt_knn*1e3:.2f} ms ({cap/dt_knn/1e6:.1f} Mq/s)")
 
     pairs_per_sec = 1.0 / dt
     print(
@@ -143,6 +171,8 @@ def main():
                 "vs_baseline": round(pairs_per_sec / TARGET_PAIRS_PER_SEC, 3),
                 "extra": {
                     "latency_ms": round(dt * 1e3, 3),
+                    "latency_ms_raw_with_link_rtt": round(dt_raw * 1e3, 3),
+                    "link_floor_ms": round(floor * 1e3, 3),
                     "preprocess_ms_per_scan": round(dt_pre * 1e3, 3),
                     "knn_k10_mqueries_per_s": round(cap / dt_knn / 1e6, 2),
                     "translation_err_cm": round(t_err * 100, 2),

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from sycl_points_tpu.mapping.hash_table import lookup_slots, resolve_slots
 from sycl_points_tpu.mapping.voxel_hash_map import _tri_pack, _tri_unpack
-from sycl_points_tpu.ops.voxel import _SENTINEL, COORD_MASK, COORD_OFFSET, voxel_coords
+from sycl_points_tpu.ops.voxel import _SENTINEL, COORD_MASK, COORD_OFFSET, sort_by_cell, voxel_coords
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import eigh3
 
@@ -139,12 +139,8 @@ def _segment_merge(coords, w, payloads, capacity):
     """Sort + segment-reduce (coords, payload) rows to unique keys.
     Returns (seg_keys [N,3], seg_valid [N], aggregated payloads)."""
     N = coords.shape[0]
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
-    coords_s = coords[order]
-    prev = jnp.roll(coords_s, 1, axis=0)
-    new_seg = jnp.any(coords_s != prev, axis=-1).at[0].set(True)
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    w_s = w[order]
+    order, coords_s, ok_s, seg_id, new_seg = sort_by_cell(coords, w > 0)
+    w_s = w[order] * ok_s.astype(w.dtype)
 
     def seg(x):
         xs = x[order]

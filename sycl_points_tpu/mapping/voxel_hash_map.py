@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from sycl_points_tpu.mapping.hash_table import lookup_slots, resolve_slots
-from sycl_points_tpu.ops.voxel import _SENTINEL, voxel_coords
+from sycl_points_tpu.ops.voxel import _SENTINEL, sort_by_cell, voxel_coords
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import eigh3
 
@@ -116,13 +116,9 @@ def add_point_cloud(
     rgba = cloud.rgb if cloud.rgb is not None else jnp.zeros((N, 4), jnp.float32)
     inten = cloud.intensities if cloud.intensities is not None else jnp.zeros((N,), jnp.float32)
 
-    # Frame-local pre-aggregation: sort by key, segment-reduce all payloads.
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
-    coords_s = coords[order]
-    prev = jnp.roll(coords_s, 1, axis=0)
-    new_seg = jnp.any(coords_s != prev, axis=-1).at[0].set(True)
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    w = ok[order].astype(jnp.float32)
+    # Frame-local pre-aggregation: packed-key sort, segment-reduce payloads.
+    order, coords_s, ok_s, seg_id, new_seg = sort_by_cell(coords, ok)
+    w = ok_s.astype(jnp.float32)
 
     def seg(x):
         return jax.ops.segment_sum(x, seg_id, num_segments=N)

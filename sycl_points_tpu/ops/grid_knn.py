@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from sycl_points_tpu.mapping.hash_table import lookup_slots, resolve_slots
 from sycl_points_tpu.ops.knn import KNNResult
 from sycl_points_tpu.ops.transform import transform_points
-from sycl_points_tpu.ops.voxel import _SENTINEL, voxel_coords
+from sycl_points_tpu.ops.voxel import _SENTINEL, sort_by_cell, voxel_coords
 from sycl_points_tpu.points.point_cloud import PointCloud
 
 _BIG = float("inf")
@@ -64,12 +64,7 @@ class GridKNN:
         cap = table_capacity or max(256, 1 << (N - 1).bit_length())
         coords, ok = voxel_coords(cloud.points, cloud.mask, cell_size)
 
-        order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
-        coords_s = coords[order]
-        ok_s = ok[order]
-        prev = jnp.roll(coords_s, 1, axis=0)
-        new_seg = jnp.any(coords_s != prev, axis=-1).at[0].set(True)
-        seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+        order, coords_s, ok_s, seg_id, new_seg = sort_by_cell(coords, ok)
 
         pos = jnp.arange(N, dtype=jnp.int32)
         seg_start = jnp.full((N,), N, jnp.int32).at[seg_id].min(pos)

@@ -61,6 +61,40 @@ def _segment_ids_from_sorted_coords(coords_sorted: jax.Array):
     return seg_id, new_seg
 
 
+# Per-axis cell budget for the packed single-int32 sort key (3 x 10 bits).
+# Cells are offset by the per-frame minimum, so this bounds the *extent* of
+# one batch (1024 cells/axis = 256 m at 0.25 m voxels), not absolute
+# coordinates.  Points beyond the budget are treated as invalid.
+MAX_CELLS_PER_AXIS = 1024
+
+
+def sort_by_cell(coords: jax.Array, ok: jax.Array):
+    """Sort rows by cell with ONE device sort.
+
+    The reference packs 3 x 21-bit coords into a uint64 key
+    (voxel_constants.hpp); without 64-bit types a lexsort needs 3 sort
+    passes.  Instead, coordinates are re-based to the per-frame minimum and
+    packed into a single int32 (3 x 10 bits) — one sort pass, ~3x cheaper.
+    Invalid/out-of-budget rows get the maximal key and sort to the tail.
+
+    Returns (order, coords_sorted, ok_sorted, seg_id, new_seg).
+    """
+    big = jnp.int32(2**30)
+    masked = jnp.where(ok[:, None], coords, big)
+    cmin = jnp.min(masked, axis=0)
+    rel = coords - cmin
+    in_bound = ok & jnp.all((rel >= 0) & (rel < MAX_CELLS_PER_AXIS), axis=-1)
+    key = (
+        (rel[:, 0] * MAX_CELLS_PER_AXIS + rel[:, 1]) * MAX_CELLS_PER_AXIS + rel[:, 2]
+    )
+    key = jnp.where(in_bound, key, jnp.int32(2**31 - 1))
+    order = jnp.argsort(key)
+    key_s = key[order]
+    new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    return order, coords[order], in_bound[order], seg_id, new_seg
+
+
 def voxel_downsample(
     cloud: PointCloud,
     voxel_size: float | jax.Array,
@@ -86,14 +120,10 @@ def downsample_by_coords(
     N = cloud.capacity
     out_cap = out_capacity or N
 
-    # Lexicographic device sort; invalid points share the sentinel and sort
-    # to the tail as one segment with zero weight.
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
-    coords_s = coords[order]
-    ok_s = ok[order]
+    # Single-pass packed-key device sort; invalid points share the maximal
+    # key and sort to the tail as one segment with zero weight.
+    order, coords_s, ok_s, seg_id, _ = sort_by_cell(coords, ok)
     pts_s = cloud.points[order]
-
-    seg_id, _ = _segment_ids_from_sorted_coords(coords_s)
     w = ok_s.astype(cloud.points.dtype)
 
     counts = jax.ops.segment_sum(w, seg_id, num_segments=out_cap)

@@ -150,20 +150,19 @@ def compact_device(cloud: PointCloud, out_capacity: Optional[int] = None) -> Poi
     """
     cap = cloud.capacity
     out_cap = out_capacity or cap
-    order = jnp.argsort(~cloud.mask, stable=True)[: min(out_cap, cap)]
-    n_valid = jnp.minimum(jnp.sum(cloud.mask.astype(jnp.int32)), out_cap)
+    m = cloud.mask.astype(jnp.int32)
+    csum = jnp.cumsum(m)
+    n_valid = jnp.minimum(csum[-1], out_cap)
     new_mask = jnp.arange(out_cap) < n_valid
-    pad = out_cap - order.shape[0]  # growing: zero-pad the gathered rows
+    # Scatter valid rows to their exclusive-prefix-sum position: O(n), no sort
+    # (the reference's host compaction loop, done with one cumsum + scatter).
+    tgt = jnp.where(cloud.mask, csum - m, out_cap)
 
     def take(arr):
         if arr is None:
             return None
-        out = jnp.take(arr, order, axis=0)
-        if pad > 0:
-            out = jnp.concatenate(
-                [out, jnp.zeros((pad,) + out.shape[1:], out.dtype)], axis=0
-            )
-        return out
+        out = jnp.zeros((out_cap,) + arr.shape[1:], arr.dtype)
+        return out.at[tgt].set(arr, mode="drop")
 
     return PointCloud(
         points=take(cloud.points),
