@@ -134,7 +134,9 @@ class RegistrationResult(NamedTuple):
 
 class _Targets(NamedTuple):
     """Pose-independent per-alignment precomputation (one-time, not per
-    iteration as in the reference)."""
+    iteration as in the reference).  ``packed``/``layout`` hold all
+    attributes flattened into one [M, F] matrix so the hot loop does a
+    single gather."""
 
     points: jax.Array
     mask: jax.Array
@@ -142,6 +144,29 @@ class _Targets(NamedTuple):
     covs_raw: Optional[jax.Array]
     normals: Optional[jax.Array]
     planar: Optional[jax.Array]
+    packed: Optional[jax.Array] = None
+    layout: tuple = ()
+
+
+def _pack_targets(tgt: _Targets) -> _Targets:
+    """Flatten present attributes into one [M, F] gather matrix."""
+    cols = [tgt.points]
+    layout = []
+    if tgt.covs_reg is not None:
+        cols.append(tgt.covs_reg.reshape(-1, 9))
+        layout.append(("covs_reg", 9))
+    if tgt.covs_raw is not None:
+        cols.append(tgt.covs_raw.reshape(-1, 9))
+        layout.append(("covs_raw", 9))
+    if tgt.normals is not None:
+        cols.append(tgt.normals)
+        layout.append(("normals", 3))
+    if tgt.planar is not None:
+        cols.append(tgt.planar.astype(jnp.float32)[:, None])
+        layout.append(("planar", 1))
+    if not layout:
+        return tgt
+    return tgt._replace(packed=jnp.concatenate(cols, axis=1), layout=tuple(layout))
 
 
 def _precompute_targets(params: RegistrationParams, source: PointCloud, target: PointCloud):
@@ -174,7 +199,7 @@ def _precompute_targets(params: RegistrationParams, source: PointCloud, target: 
         if source.covs is None or target.covs is None:
             raise ValueError("rotation constraint requires source and target covariances")
         tgt = tgt._replace(covs_raw=target.covs)
-    return src_covs_reg, tgt
+    return src_covs_reg, _pack_targets(tgt)
 
 
 def _gather(arr, idx):
@@ -182,13 +207,40 @@ def _gather(arr, idx):
 
 
 def _correspondences(params, knn, src_pts, src_mask, T, tgt: _Targets):
-    """One NN search with the pose folded into the queries (knn.hpp:44)."""
+    """One NN search with the pose folded into the queries (knn.hpp:44).
+
+    All target attributes are packed into ONE [M, F] matrix before the align
+    loop (see _pack_targets) so the per-iteration gather is a single fused
+    kernel instead of one gather per attribute.
+    """
     res = knn.search(src_pts, 1, pose=T)
     idx = res.indices[:, 0]
     d2 = res.distances[:, 0]
     max_d2 = params.max_correspondence_distance**2
     corr_mask = src_mask & (d2 <= max_d2)
-    gathered = _Targets(
+
+    if tgt.packed is not None:
+        flat = tgt.packed[idx]  # single gather [N, F]
+        out = {"points": flat[:, 0:3], "mask": corr_mask}
+        col = 3
+        for name, width in tgt.layout:
+            block = flat[:, col : col + width]
+            col += width
+            if name == "planar":
+                out[name] = block[:, 0] > 0.5
+            elif width == 9:
+                out[name] = block.reshape(-1, 3, 3)
+            elif width == 3:
+                out[name] = block
+            else:
+                out[name] = block[:, 0]
+        return _Targets(
+            points=out["points"], mask=corr_mask,
+            covs_reg=out.get("covs_reg"), covs_raw=out.get("covs_raw"),
+            normals=out.get("normals"), planar=out.get("planar"),
+        )
+
+    return _Targets(
         points=tgt.points[idx],
         mask=corr_mask,
         covs_reg=_gather(tgt.covs_reg, idx),
@@ -196,7 +248,6 @@ def _correspondences(params, knn, src_pts, src_mask, T, tgt: _Targets):
         normals=_gather(tgt.normals, idx),
         planar=_gather(tgt.planar, idx),
     )
-    return gathered
 
 
 def _genz_alpha(corr: _Targets):
