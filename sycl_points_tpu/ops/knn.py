@@ -56,7 +56,7 @@ def brute_force_knn(
     query_points: jax.Array,
     k: int,
     pose: Optional[jax.Array] = None,
-    chunk: int = 4096,
+    chunk: int = 8192,
 ) -> KNNResult:
     """Exact KNN by tiled distance matmul + running top-k merge.
 
@@ -68,8 +68,22 @@ def brute_force_knn(
 
     M = target_points.shape[0]
     Q = query_points.shape[0]
+    if k > 1:
+        # Narrow chunks keep each top_k cheap; the scan merge beats one wide
+        # top_k over the full target (measured).
+        chunk = min(chunk, 4096)
     chunk = min(chunk, round_up(M, 128))
     n_chunks = -(-M // chunk)
+
+    if n_chunks == 1 and k == 1:
+        # Flat path: one fused matmul + argmin, no scan machinery (the
+        # common case after downsampling; saves per-iteration loop overhead
+        # in the ICP hot path).
+        d2 = _pairwise_sqdist(query_points, target_points)
+        d2 = jnp.where(target_mask[None, :], d2, _BIG)
+        i = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        d = jnp.take_along_axis(d2, i[:, None], axis=1)
+        return KNNResult(i[:, None], d)
     Mp = n_chunks * chunk
     if Mp != M:
         pad = Mp - M
@@ -139,7 +153,7 @@ class BruteForceKNN:
         query_points: jax.Array,
         k: int,
         pose: Optional[jax.Array] = None,
-        chunk: int = 4096,
+        chunk: int = 8192,
     ) -> KNNResult:
         if k == 1 and self.use_pallas:
             from sycl_points_tpu.ops.pallas_knn import nn1_pallas
