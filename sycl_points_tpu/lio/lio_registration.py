@@ -346,44 +346,42 @@ def align(
                 new_state = retract(c.state, delta)
                 lm_next, radius_next = c.lm_lambda, c.radius
             elif method == "levenberg_marquardt":
+                # Parallel-candidate LM (see registration.py): all damping
+                # candidates evaluated in one batched pass, first-improving
+                # selected — identical to the sequential reference loop
+                # (lio_registration.hpp:552-584) with 1 sequential round.
                 p = params.lm
                 cur_cost = frozen_icp_cost(c.state, corr, alpha, icp_weight) + imu_cost(c.state)
-
-                class Inner(NamedTuple):
-                    i: jax.Array
-                    lam: jax.Array
-                    done: jax.Array
-                    delta: jax.Array
-                    accepted: jax.Array
-
-                def inner_body(st: Inner):
-                    d, ok = solve_psd(H15 + st.lam * I15, -b15)
-                    d = bias_freeze(d)
-                    trial = retract(c.state, d)
-                    cost = frozen_icp_cost(trial, corr, alpha, icp_weight) + imu_cost(trial)
-                    accept = ok & (cost <= cur_cost)
-                    lam_next = jnp.where(
-                        accept,
-                        jnp.clip(st.lam / p.lambda_factor, p.min_lambda, p.max_lambda),
-                        jnp.clip(st.lam * p.lambda_factor, p.min_lambda, p.max_lambda),
-                    )
-                    return Inner(
-                        i=st.i + 1, lam=lam_next, done=accept,
-                        delta=jnp.where(accept, d, st.delta),
-                        accepted=st.accepted | accept,
-                    )
-
-                fin = jax.lax.while_loop(
-                    lambda st: (st.i < p.max_inner_iterations) & ~st.done,
-                    inner_body,
-                    Inner(jnp.int32(0), c.lm_lambda, jnp.bool_(False),
-                          jnp.zeros(DOF, jnp.float32), jnp.bool_(False)),
+                C = p.max_inner_iterations
+                lams = jnp.clip(
+                    c.lm_lambda * (p.lambda_factor ** jnp.arange(C, dtype=jnp.float32)),
+                    p.min_lambda, p.max_lambda,
                 )
-                delta = fin.delta
-                accepted = fin.accepted
+
+                def trial_fn(lam):
+                    d, ok = solve_psd(H15 + lam * I15, -b15)
+                    d = bias_freeze(d)
+                    tr = retract(c.state, d)
+                    cost = frozen_icp_cost(tr, corr, alpha, icp_weight) + imu_cost(tr)
+                    return d, ok, cost
+
+                ds, oks, costs = jax.vmap(trial_fn)(lams)
+                acc = oks & (costs <= cur_cost)
+                any_acc = jnp.any(acc)
+                idx = jnp.argmax(acc)
+                delta = jnp.where(any_acc, ds[idx], jnp.zeros(DOF, jnp.float32))
+                accepted = any_acc
                 stop = ~accepted
                 new_state = retract(c.state, delta)
-                lm_next, radius_next = fin.lam, c.radius
+                lam_exhausted = jnp.clip(
+                    c.lm_lambda * p.lambda_factor**C, p.min_lambda, p.max_lambda
+                )
+                lm_next = jnp.where(
+                    any_acc,
+                    jnp.clip(lams[idx] / p.lambda_factor, p.min_lambda, p.max_lambda),
+                    lam_exhausted,
+                )
+                radius_next = c.radius
             elif method == "powell_dogleg":
                 p = params.dogleg
                 cur_cost = frozen_icp_cost(c.state, corr, alpha, icp_weight) + imu_cost(c.state)

@@ -442,55 +442,56 @@ def align(
             )
 
         if params.optimization_method == "levenberg_marquardt":
+            # Parallel-candidate LM: the reference's sequential inner loop
+            # tries lambda, lambda*f, lambda*f^2, ... until a trial improves
+            # the cost (registration.hpp:830-895).  Evaluating ALL candidate
+            # damping values in one batched pass (vmapped 6x6 solves + error
+            # evaluations) selects the *same* first-improving candidate but
+            # collapses up to max_inner_iterations sequential device rounds
+            # into one — the dominant sequential-depth win on TPU.
             p = params.lm
-
-            class Inner(NamedTuple):
-                i: jax.Array
-                lam: jax.Array
-                last_error: jax.Array
-                done: jax.Array
-                T: jax.Array
-                error: jax.Array
-                inlier: jax.Array
-                converged: jax.Array
-
-            def inner_cond(st: Inner):
-                return (st.i < p.max_inner_iterations) & ~st.done
-
-            def inner_body(st: Inner):
-                delta, _ = solve_psd(H + st.lam * jnp.eye(6), -g)
-                conv = _is_converged(params, delta)
-                T_new = s.T @ lie.se3_exp(delta)
-                new_err, new_inl = error_fn(T_new, corr, alpha)
-                accept = new_err <= cur_err
-                plateau = jnp.abs(new_err - st.last_error) <= 1e-6
-                take = accept | plateau
-                lam_next = jnp.where(
-                    accept,
-                    jnp.clip(st.lam / p.lambda_factor, p.min_lambda, p.max_lambda),
-                    jnp.clip(st.lam * p.lambda_factor, p.min_lambda, p.max_lambda),
-                )
-                return Inner(
-                    i=st.i + 1,
-                    lam=jnp.where(take & ~accept, st.lam, lam_next),
-                    last_error=new_err,
-                    done=take,
-                    T=jnp.where(take, T_new, st.T),
-                    error=jnp.where(take, new_err, st.error),
-                    inlier=jnp.where(take, new_inl, st.inlier),
-                    converged=jnp.where(take, conv, st.converged),
-                )
-
-            init = Inner(
-                i=jnp.int32(0), lam=s.lm_lambda,
-                last_error=jnp.float32(jnp.finfo(jnp.float32).max),
-                done=jnp.bool_(False), T=s.T, error=cur_err,
-                inlier=inlier, converged=jnp.bool_(False),
+            C = p.max_inner_iterations
+            lams = jnp.clip(
+                s.lm_lambda * (p.lambda_factor ** jnp.arange(C, dtype=jnp.float32)),
+                p.min_lambda, p.max_lambda,
             )
-            fin = jax.lax.while_loop(inner_cond, inner_body, init)
+            eye6 = jnp.eye(6, dtype=jnp.float32)
+
+            def trial(lam):
+                delta, _ = solve_psd(H + lam * eye6, -g)
+                T_new = s.T @ lie.se3_exp(delta)
+                err, inl = error_fn(T_new, corr, alpha)
+                return delta, T_new, err, inl
+
+            deltas, T_cands, errs, inls = jax.vmap(trial)(lams)
+
+            accept = errs <= cur_err
+            prev_errs = jnp.concatenate(
+                [jnp.full((1,), jnp.finfo(jnp.float32).max), errs[:-1]]
+            )
+            plateau = jnp.abs(errs - prev_errs) <= 1e-6
+            take = accept | plateau
+            any_take = jnp.any(take)
+            idx = jnp.argmax(take)  # first taken candidate (reference order)
+
+            accepted = any_take & accept[idx]
+            conv = jnp.where(any_take, _is_converged(params, deltas[idx]), False)
+            T_new = jnp.where(any_take, T_cands[idx], s.T)
+            err_new = jnp.where(any_take, errs[idx], cur_err)
+            inl_new = jnp.where(any_take, inls[idx], inlier)
+            # Lambda bookkeeping (reference: divide on accept, the plateau
+            # branch keeps the trial's lambda, full escalation otherwise).
+            lam_exhausted = jnp.clip(
+                s.lm_lambda * p.lambda_factor**C, p.min_lambda, p.max_lambda
+            )
+            lam_next = jnp.where(
+                accepted,
+                jnp.clip(lams[idx] / p.lambda_factor, p.min_lambda, p.max_lambda),
+                jnp.where(any_take, lams[idx], lam_exhausted),
+            )
             return s._replace(
-                T=fin.T, it=s.it + 1, converged=fin.converged, lm_lambda=fin.lam,
-                H=H, b=g, error=fin.error, inlier=fin.inlier,
+                T=T_new, it=s.it + 1, converged=conv, lm_lambda=lam_next,
+                H=H, b=g, error=err_new, inlier=inl_new,
                 H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
             )
 
