@@ -130,17 +130,20 @@ def align_pipeline(
     T = T0
     result: Optional[RegistrationResult] = None
     deskewed = src
-    for geo_s, rot_s in zip(geo_scales, rot_scales):
-        if deskew_iters == 0:
-            result = align(
-                src, target, target_knn, params.registration,
-                initial_guess=T, robust_scale=geo_s,
-                rotation_robust_scale=rot_s, map_prior=map_prior,
-            )
-            T = result.T
-        else:
-            pp = T0 if prev_pose is None else prev_pose
-            duration = jnp.float32(-1.0 if dt is None else dt)
+    if deskew_iters == 0:
+        # All annealing levels fold into ONE compiled while loop (program
+        # size dominates per-call cost on the TPU runtime).
+        result = align(
+            src, target, target_knn, params.registration,
+            initial_guess=T, map_prior=map_prior,
+            robust_schedule=tuple(zip(geo_scales, rot_scales)),
+        )
+    else:
+        # VICP interleaves deskew passes inside each robust level
+        # (registration_pipeline.hpp wrap order), so the levels stay unrolled.
+        pp = T0 if prev_pose is None else prev_pose
+        duration = jnp.float32(-1.0 if dt is None else dt)
+        for geo_s, rot_s in zip(geo_scales, rot_scales):
             for _ in range(deskew_iters):
                 deskewed = deskew_constant_velocity(src, pp, T, duration)
                 result = align(

@@ -358,7 +358,10 @@ def compute_dogleg_step(H, g, radius):
 
 class _LoopState(NamedTuple):
     T: jax.Array
-    it: jax.Array
+    it: jax.Array  # iterations within the current robust level
+    total_it: jax.Array
+    level: jax.Array  # robust annealing level index
+    finished: jax.Array
     converged: jax.Array
     lm_lambda: jax.Array
     trust_radius: jax.Array
@@ -380,15 +383,36 @@ def align(
     robust_scale: Optional[jax.Array] = None,
     rotation_robust_scale: Optional[jax.Array] = None,
     map_prior=None,
+    robust_schedule: Optional[tuple] = None,
 ) -> RegistrationResult:
-    """Run ICP (Registration::align, registration.hpp:201-276). Jittable."""
+    """Run ICP (Registration::align, registration.hpp:201-276). Jittable.
+
+    ``robust_schedule`` (static tuple of (geometry_scale, rotation_scale)
+    pairs) runs the full robust-annealing chain of the reference
+    RobustAligner inside ONE while loop: each level runs <= max_iterations
+    from the previous level's pose with fresh optimizer state — identical
+    semantics to chained align() calls, but a single compiled loop (program
+    size and per-call overhead are the dominant costs on the TPU runtime).
+    """
     T0 = jnp.eye(4, dtype=jnp.float32) if initial_guess is None else initial_guess
-    r_scale = jnp.float32(params.robust.default_scale if robust_scale is None else robust_scale)
-    rot_scale = jnp.float32(
-        params.rotation_constraint.robust_scale
-        if rotation_robust_scale is None
-        else rotation_robust_scale
-    )
+    if robust_schedule:
+        geo_scales = jnp.asarray([g for g, _ in robust_schedule], jnp.float32)
+        rot_scales = jnp.asarray([r for _, r in robust_schedule], jnp.float32)
+        n_levels = len(robust_schedule)
+    else:
+        geo_scales = jnp.asarray(
+            [params.robust.default_scale if robust_scale is None else robust_scale],
+            jnp.float32,
+        )
+        rot_scales = jnp.asarray(
+            [
+                params.rotation_constraint.robust_scale
+                if rotation_robust_scale is None
+                else rotation_robust_scale
+            ],
+            jnp.float32,
+        )
+        n_levels = 1
 
     src_covs_reg, tgt = _precompute_targets(params, source, target)
     src_pts, src_mask = source.points, source.mask
@@ -396,21 +420,21 @@ def align(
     from sycl_points_tpu.registration import degenerate as _degen
     from sycl_points_tpu.registration import rotation_constraint as _rotc
 
-    def iteration_core(T):
+    def iteration_core(T, r_scale, rot_scale_):
         corr = _correspondences(params, target_knn, src_pts, src_mask, T, tgt)
         alpha = _genz_alpha(corr) if params.reg_type is RegType.GENZ else jnp.float32(1.0)
         lin = _linearize(params, T, src_pts, src_covs_reg, corr, r_scale, alpha)
         if params.rotation_constraint.enable:
             lin = _rotc.add_rotation_constraint(
-                params, lin, T, source.covs, corr, rot_scale
+                params, lin, T, source.covs, corr, rot_scale_
             )
         return corr, alpha, lin
 
-    def error_fn(T, corr, alpha):
+    def error_fn(T, corr, alpha, r_scale, rot_scale_):
         err, inl = _error_at(params, T, src_pts, src_covs_reg, corr, r_scale, alpha)
         if params.rotation_constraint.enable:
             err = err + _rotc.rotation_constraint_error(
-                params, T, source.covs, corr, rot_scale
+                params, T, source.covs, corr, rot_scale_
             )
         if map_prior is not None:
             err = err + map_prior.prior_error(T)
@@ -419,7 +443,9 @@ def align(
     T_initial = T0
 
     def body(s: _LoopState) -> _LoopState:
-        corr, alpha, lin_raw = iteration_core(s.T)
+        r_scale = geo_scales[s.level]
+        rot_scale_ = rot_scales[s.level]
+        corr, alpha, lin_raw = iteration_core(s.T, r_scale, rot_scale_)
         H_raw, b_raw, error_raw = lin_raw.H, lin_raw.b, lin_raw.error
 
         lin = lin_raw
@@ -433,22 +459,16 @@ def align(
         if params.optimization_method == "gauss_newton":
             delta, _ = solve_psd(H + params.gn.lambda_ * jnp.eye(6), -g)
             T_new = s.T @ lie.se3_exp(delta)
-            return s._replace(
-                T=T_new,
-                it=s.it + 1,
-                converged=_is_converged(params, delta),
-                H=H, b=g, error=cur_err, inlier=inlier,
-                H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
-            )
-
-        if params.optimization_method == "levenberg_marquardt":
-            # Parallel-candidate LM: the reference's sequential inner loop
+            conv = _is_converged(params, delta)
+            err_new, inl_new = cur_err, inlier
+            lam_next, trust_next = s.lm_lambda, s.trust_radius
+        elif params.optimization_method == "levenberg_marquardt":
+            # Parallel-candidate LM: the reference sequential inner loop
             # tries lambda, lambda*f, lambda*f^2, ... until a trial improves
-            # the cost (registration.hpp:830-895).  Evaluating ALL candidate
-            # damping values in one batched pass (vmapped 6x6 solves + error
-            # evaluations) selects the *same* first-improving candidate but
-            # collapses up to max_inner_iterations sequential device rounds
-            # into one — the dominant sequential-depth win on TPU.
+            # the cost (registration.hpp:830-895).  Evaluating ALL candidates
+            # in one batched pass (vmapped 6x6 solves + error evaluations)
+            # selects the *same* first-improving candidate but collapses up
+            # to max_inner_iterations sequential device rounds into one.
             p = params.lm
             C = p.max_inner_iterations
             lams = jnp.clip(
@@ -459,9 +479,9 @@ def align(
 
             def trial(lam):
                 delta, _ = solve_psd(H + lam * eye6, -g)
-                T_new = s.T @ lie.se3_exp(delta)
-                err, inl = error_fn(T_new, corr, alpha)
-                return delta, T_new, err, inl
+                T_c = s.T @ lie.se3_exp(delta)
+                err, inl = error_fn(T_c, corr, alpha, r_scale, rot_scale_)
+                return delta, T_c, err, inl
 
             deltas, T_cands, errs, inls = jax.vmap(trial)(lams)
 
@@ -479,8 +499,6 @@ def align(
             T_new = jnp.where(any_take, T_cands[idx], s.T)
             err_new = jnp.where(any_take, errs[idx], cur_err)
             inl_new = jnp.where(any_take, inls[idx], inlier)
-            # Lambda bookkeeping (reference: divide on accept, the plateau
-            # branch keeps the trial's lambda, full escalation otherwise).
             lam_exhausted = jnp.clip(
                 s.lm_lambda * p.lambda_factor**C, p.min_lambda, p.max_lambda
             )
@@ -489,47 +507,62 @@ def align(
                 jnp.clip(lams[idx] / p.lambda_factor, p.min_lambda, p.max_lambda),
                 jnp.where(any_take, lams[idx], lam_exhausted),
             )
-            return s._replace(
-                T=T_new, it=s.it + 1, converged=conv, lm_lambda=lam_next,
-                H=H, b=g, error=err_new, inlier=inl_new,
-                H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
-            )
-
-        if params.optimization_method == "powell_dogleg":
+            trust_next = s.trust_radius
+        elif params.optimization_method == "powell_dogleg":
             p = params.dogleg
             clamp = lambda r: jnp.clip(r, p.min_trust_region_radius, p.max_trust_region_radius)
             radius = clamp(s.trust_radius)
             step, step_norm, pred = compute_dogleg_step(H, g, radius)
-            T_new = s.T @ lie.se3_exp(step)
-            new_err, new_inl = error_fn(T_new, corr, alpha)
+            T_c = s.T @ lie.se3_exp(step)
+            new_err, new_inl = error_fn(T_c, corr, alpha, r_scale, rot_scale_)
             rho = (cur_err - new_err) / jnp.maximum(pred, 1e-30)
             reject = (pred <= 0.0) | (rho < p.eta1)
             grow = (rho > p.eta2) & (step_norm >= radius * 0.99)
-            radius_next = clamp(
+            trust_next = clamp(
                 jnp.where(reject, radius * p.gamma_decrease,
                           jnp.where(grow, radius * p.gamma_increase, radius))
             )
-            return s._replace(
-                T=jnp.where(reject, s.T, T_new),
-                it=s.it + 1,
-                converged=jnp.where(reject, False, _is_converged(params, step)),
-                trust_radius=radius_next,
-                H=H, b=g,
-                error=jnp.where(reject, cur_err, new_err),
-                inlier=jnp.where(reject, inlier, new_inl),
-                H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
-            )
+            T_new = jnp.where(reject, s.T, T_c)
+            conv = jnp.where(reject, False, _is_converged(params, step))
+            err_new = jnp.where(reject, cur_err, new_err)
+            inl_new = jnp.where(reject, inlier, new_inl)
+            lam_next = s.lm_lambda
+        else:
+            raise ValueError(params.optimization_method)
 
-        raise ValueError(params.optimization_method)
+        # Robust-level transition (RobustAligner chaining, pipeline/robust.hpp).
+        it_next = s.it + 1
+        exhausted = it_next >= params.max_iterations
+        advance = conv | exhausted
+        last = s.level >= (n_levels - 1)
+        finished = advance & last
+        reset = advance & ~last
+        return _LoopState(
+            T=T_new,
+            it=jnp.where(reset, 0, it_next),
+            total_it=s.total_it + 1,
+            level=jnp.where(reset, s.level + 1, s.level),
+            finished=finished,
+            converged=conv,
+            lm_lambda=jnp.where(reset, jnp.float32(params.lm.init_lambda), lam_next),
+            trust_radius=jnp.where(
+                reset, jnp.float32(params.dogleg.initial_trust_region_radius), trust_next
+            ),
+            H=H, b=g, error=err_new, inlier=inl_new,
+            H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
+        )
 
     def cond(s: _LoopState):
-        return (s.it < params.max_iterations) & ~s.converged
+        return ~s.finished & (s.total_it < params.max_iterations * n_levels)
 
     z6 = jnp.zeros((6,), jnp.float32)
     z66 = jnp.zeros((6, 6), jnp.float32)
     init = _LoopState(
         T=T0,
         it=jnp.int32(0),
+        total_it=jnp.int32(0),
+        level=jnp.int32(0),
+        finished=jnp.bool_(False),
         converged=jnp.bool_(False),
         lm_lambda=jnp.float32(params.lm.init_lambda),
         trust_radius=jnp.float32(params.dogleg.initial_trust_region_radius),
@@ -538,7 +571,7 @@ def align(
     )
     out = jax.lax.while_loop(cond, body, init)
     return RegistrationResult(
-        T=out.T, converged=out.converged, iterations=out.it,
+        T=out.T, converged=out.converged, iterations=out.total_it,
         H=out.H, b=out.b, error=out.error, inlier=out.inlier,
         H_raw=out.H_raw, b_raw=out.b_raw, error_raw=out.error_raw,
     )
