@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import lie
+from sycl_points_tpu.utils.smallmat import matvec3, rotate_mat3
 
 
 def deskew_constant_velocity(
@@ -38,18 +39,13 @@ def deskew_constant_velocity(
 
     motion = lie.se3_exp(tau[:, None] * delta_twist[None, :])  # [N, 4, 4]
     R = motion[:, :3, :3]
-    new_points = (
-        jnp.einsum("nij,nj->ni", R, cloud.points, precision="highest")
-        + motion[:, :3, 3]
-    )
+    new_points = matvec3(R, cloud.points) + motion[:, :3, 3]
 
     new_normals = None
     if cloud.normals is not None:
-        new_normals = jnp.einsum("nij,nj->ni", R, cloud.normals, precision="highest")
+        new_normals = matvec3(R, cloud.normals)
     new_covs = None
     if cloud.covs is not None:
-        new_covs = jnp.einsum(
-            "nij,njk,nlk->nil", R, cloud.covs, R, precision="highest"
-        )
+        new_covs = rotate_mat3(R, cloud.covs)
 
     return cloud.replace(points=new_points, normals=new_normals, covs=new_covs)

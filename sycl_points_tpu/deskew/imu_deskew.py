@@ -27,6 +27,7 @@ import numpy as np
 from sycl_points_tpu.imu import preintegration as pre
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import lie
+from sycl_points_tpu.utils.smallmat import matvec3, rotate_mat3
 
 
 class IMUDeskewStatus(enum.Enum):
@@ -75,16 +76,16 @@ def apply_trajectory(
     t = traj_t[lo] + alpha[:, None] * (traj_t[hi] - traj_t[lo])
     R = lie.quat_to_matrix(q)
 
-    new_pts = jnp.einsum("nij,nj->ni", R, cloud.points, precision="highest") + t
+    new_pts = matvec3(R, cloud.points) + t
     new_pts = jnp.where(finite[:, None], new_pts, cloud.points)
 
     new_normals = None
     if cloud.normals is not None:
-        rn = jnp.einsum("nij,nj->ni", R, cloud.normals, precision="highest")
+        rn = matvec3(R, cloud.normals)
         new_normals = jnp.where(finite[:, None], rn, cloud.normals)
     new_covs = None
     if cloud.covs is not None:
-        rc = jnp.einsum("nij,njk,nlk->nil", R, cloud.covs, R, precision="highest")
+        rc = rotate_mat3(R, cloud.covs)
         new_covs = jnp.where(finite[:, None, None], rc, cloud.covs)
     return cloud.replace(points=new_pts, normals=new_normals, covs=new_covs)
 
@@ -169,12 +170,8 @@ def deskew_point_cloud_imu(
     # IMU-frame relative pose -> LiDAR frame: T_l = T_il @ T_imu @ T_il^-1.
     T_il = jnp.asarray(T_imu_to_lidar, jnp.float32)
     R_il, t_il = T_il[:3, :3], T_il[:3, 3]
-    R_lidar = jnp.einsum("ij,njk,lk->nil", R_il, dR_seq, R_il, precision="highest")
-    t_lidar = (
-        jnp.einsum("ij,nj->ni", R_il, dp_comp, precision="highest")
-        + t_il[None, :]
-        - jnp.einsum("nij,j->ni", R_lidar, t_il, precision="highest")
-    )
+    R_lidar = rotate_mat3(R_il, dR_seq)
+    t_lidar = matvec3(R_il, dp_comp) + t_il[None, :] - matvec3(R_lidar, t_il)
 
     traj_q = jnp.concatenate(
         [jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), lie.matrix_to_quat(R_lidar)]

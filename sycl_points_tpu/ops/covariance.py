@@ -47,9 +47,12 @@ def _weighted_moments(
     total_w = jnp.sum(w, axis=1)
     count = jnp.sum(valid, axis=1)
     total_w_safe = jnp.maximum(total_w, 1e-30)
-    mean = jnp.einsum("nk,nkc->nc", w, nbr, precision="highest") / total_w_safe[:, None]
+    # Broadcast-multiply-sum moment accumulation: exact f32 on the VPU (a
+    # dot_general over the tiny k axis would go through multi-pass bf16
+    # MXU emulation at precision='highest').
+    mean = jnp.sum(w[:, :, None] * nbr, axis=1) / total_w_safe[:, None]
     second = (
-        jnp.einsum("nk,nkc,nkd->ncd", w, nbr, nbr, precision="highest")
+        jnp.sum(w[:, :, None, None] * nbr[:, :, :, None] * nbr[:, :, None, :], axis=1)
         / total_w_safe[:, None, None]
     )
     cov = eigh3.ensure_symmetric(second - mean[:, :, None] * mean[:, None, :])
@@ -98,7 +101,8 @@ def estimate_covariances_robust(
     for _ in range(max_iterations):
         cov_inv = eigh3.inv3(cov)
         diff = nbr - mean[:, None, :]
-        d2 = jnp.einsum("nkc,ncd,nkd->nk", diff, cov_inv, diff, precision="highest")
+        u = jnp.sum(cov_inv[:, None, :, :] * diff[:, :, None, :], axis=-1)  # [N,k,3]
+        d2 = jnp.sum(diff * u, axis=-1)
         d2 = jnp.where(valid, d2, 0.0)
         med = jnp.median(d2, axis=1)
         scale = jnp.maximum(mad_scale * med, min_robust_scale)

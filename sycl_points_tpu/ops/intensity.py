@@ -95,7 +95,7 @@ def _directional_gaussian_mean(
     ez = jnp.where(near_zenith, 0.0, rxy / r_safe)
 
     dp = pts[idx] - pts[:, None, :]  # [N, k, 3]
-    dp_r = jnp.einsum("nkc,nc->nk", dp, r_hat)
+    dp_r = jnp.sum(dp * r_hat[:, None, :], axis=-1)
     dp_az = dp[..., 0] * ax[:, None] + dp[..., 1] * ay[:, None]
     dp_el = dp[..., 0] * ex[:, None] + dp[..., 1] * ey[:, None] + dp[..., 2] * ez[:, None]
 

@@ -11,26 +11,26 @@ import jax
 import jax.numpy as jnp
 
 from sycl_points_tpu.points.point_cloud import PointCloud
+from sycl_points_tpu.utils.smallmat import matvec3, rotate_mat3
 
 
 def transform_points(points: jax.Array, T: jax.Array) -> jax.Array:
-    """Apply ``T [4,4]`` to ``points [..., 3]`` (kernel::transform_point)."""
-    R = T[..., :3, :3]
-    t = T[..., :3, 3]
-    return points @ jnp.swapaxes(R, -1, -2) + t
+    """Apply ``T [4,4]`` to ``points [..., 3]`` (kernel::transform_point).
+
+    Elementwise broadcast-sum (VPU): exact f32 and one fused kernel, where a
+    ``[N,3] @ [3,3]`` dot would round products to bf16 at default precision.
+    """
+    return matvec3(T[..., :3, :3], points) + T[..., :3, 3]
 
 
 def rotate_vectors(vecs: jax.Array, T: jax.Array) -> jax.Array:
     """Rotate direction vectors (normals) by the rotation block of ``T``."""
-    return vecs @ jnp.swapaxes(T[..., :3, :3], -1, -2)
+    return matvec3(T[..., :3, :3], vecs)
 
 
 def rotate_covs(covs: jax.Array, T: jax.Array) -> jax.Array:
     """``R C R^T`` for ``covs [..., 3, 3]`` (kernel::transform_covs)."""
-    R = T[..., :3, :3]
-    return jnp.einsum(
-        "ij,...jk,lk->...il", R, covs, R, precision="highest"
-    )
+    return rotate_mat3(T[..., :3, :3], covs)
 
 
 def transform_cloud(cloud: PointCloud, T: jax.Array) -> PointCloud:

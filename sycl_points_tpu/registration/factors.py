@@ -29,7 +29,13 @@ import jax.numpy as jnp
 
 from sycl_points_tpu.utils import lie
 from sycl_points_tpu.utils.eigh3 import eigvalsh3
-from sycl_points_tpu.utils.smallmat import cholesky3, solve_lower3
+from sycl_points_tpu.utils.smallmat import (
+    cholesky3,
+    matvec3,
+    rot_times_skew,
+    rotate_mat3,
+    solve_lower3,
+)
 
 
 class RegType(enum.Enum):
@@ -57,7 +63,7 @@ class WhitenedRows(NamedTuple):
 def se3_jacobian(T: jax.Array, src_pts: jax.Array) -> jax.Array:
     """J = [R.skew(p) | -R] per point -> ``[N, 3, 6]`` (factor.hpp:69-84)."""
     R = T[:3, :3]
-    Rskew = jnp.einsum("ij,njk->nik", R, lie.skew(src_pts), precision="highest")
+    Rskew = rot_times_skew(R, src_pts)  # VPU, exact f32, one fused kernel
     negR = jnp.broadcast_to(-R, Rskew.shape)
     return jnp.concatenate([Rskew, negR], axis=-1)
 
@@ -75,7 +81,7 @@ def genz_planarity(target_covs: jax.Array, threshold: float = 0.2) -> jax.Array:
 
 
 def _plane_rows(J, r, normals):
-    nj = jnp.einsum("nc,ncd->nd", normals, J, precision="highest")  # [N, 6]
+    nj = jnp.sum(normals[:, :, None] * J, axis=-2)  # [N, 6]
     s = jnp.sum(normals * r, axis=-1)  # [N]
     A = normals[:, :, None] * nj[:, None, :]
     c = normals * s[:, None]
@@ -110,7 +116,7 @@ def whitened_rows(
     unlike the reference which recomputes it per pair per iteration).
     """
     N = src_pts.shape[0]
-    p_t = src_pts @ T[:3, :3].T + T[:3, 3]
+    p_t = matvec3(T[:3, :3], src_pts) + T[:3, 3]
     r = tgt_pts - p_t
     J = se3_jacobian(T, src_pts)
     ones = jnp.ones((N,), src_pts.dtype)
@@ -123,11 +129,7 @@ def whitened_rows(
         return WhitenedRows(A, c, rn, ones)
 
     if reg_type is RegType.GICP:
-        R = T[:3, :3]
-        sigma = (
-            jnp.einsum("ij,njk,lk->nil", R, src_covs_reg, R, precision="highest")
-            + tgt_covs_reg
-        )
+        sigma = rotate_mat3(T[:3, :3], src_covs_reg) + tgt_covs_reg
         A, c, rn = _mahalanobis_rows(J, r, sigma)
         return WhitenedRows(A, c, rn, ones)
 
@@ -163,7 +165,7 @@ def residual_norms_only(
     path used by LM/dogleg step acceptance (calculate_geometry_error,
     factor.hpp:455-482)."""
     N = src_pts.shape[0]
-    p_t = src_pts @ T[:3, :3].T + T[:3, 3]
+    p_t = matvec3(T[:3, :3], src_pts) + T[:3, 3]
     r = tgt_pts - p_t
     ones = jnp.ones((N,), src_pts.dtype)
 
@@ -172,11 +174,7 @@ def residual_norms_only(
     if reg_type is RegType.POINT_TO_PLANE:
         return jnp.abs(jnp.sum(tgt_normals * r, axis=-1)), ones
     if reg_type is RegType.GICP:
-        R = T[:3, :3]
-        sigma = (
-            jnp.einsum("ij,njk,lk->nil", R, src_covs_reg, R, precision="highest")
-            + tgt_covs_reg
-        )
+        sigma = rotate_mat3(T[:3, :3], src_covs_reg) + tgt_covs_reg
         G = cholesky3(sigma)
         c = solve_lower3(G, r)
         return jnp.linalg.norm(c, axis=-1), ones

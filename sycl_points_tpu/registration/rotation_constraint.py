@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from sycl_points_tpu.ops.robust import compute_error, compute_weight
 from sycl_points_tpu.utils.eigh3 import inv3
+from sycl_points_tpu.utils.smallmat import matmul3, matvec3, rotate_mat3
 
 
 def _logdet3(M: jax.Array) -> jax.Array:
@@ -24,15 +25,13 @@ def _logdet3(M: jax.Array) -> jax.Array:
 def _divergence_and_grad(src_covs, tgt_covs, T):
     """Returns (D [N], J [N,3] gradient in the local rotation frame)."""
     R = T[:3, :3]
-    Cs_p = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision="highest")
+    Cs_p = rotate_mat3(R, src_covs)
     M = 0.5 * (Cs_p + tgt_covs)
     D = jnp.maximum(
         _logdet3(M) - 0.5 * (_logdet3(src_covs) + _logdet3(tgt_covs)), 0.0
     )
     M_inv = inv3(M)
-    comm = jnp.einsum("nij,njk->nik", Cs_p, M_inv, precision="highest") - jnp.einsum(
-        "nij,njk->nik", M_inv, Cs_p, precision="highest"
-    )
+    comm = matmul3(Cs_p, M_inv) - matmul3(M_inv, Cs_p)
     g_global = -0.5 * jnp.stack(
         [
             comm[:, 2, 1] - comm[:, 1, 2],
@@ -41,7 +40,7 @@ def _divergence_and_grad(src_covs, tgt_covs, T):
         ],
         axis=-1,
     )
-    J = g_global @ R  # R^T g per row
+    J = matvec3(R.T, g_global)  # R^T g per row (exact f32 on the VPU)
     return D, J
 
 
@@ -87,7 +86,7 @@ def add_rotation_constraint(params, lin, T, src_covs, corr, rot_scale):
 def rotation_constraint_error(params, T, src_covs, corr, rot_scale):
     tgt_covs = _gathered_tgt_covs(corr)
     R = T[:3, :3]
-    Cs_p = jnp.einsum("ij,njk,lk->nil", R, src_covs, R, precision="highest")
+    Cs_p = rotate_mat3(R, src_covs)
     M = 0.5 * (Cs_p + tgt_covs)
     D = jnp.maximum(
         _logdet3(M) - 0.5 * (_logdet3(src_covs) + _logdet3(tgt_covs)), 0.0

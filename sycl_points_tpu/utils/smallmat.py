@@ -11,6 +11,42 @@ import jax
 import jax.numpy as jnp
 
 
+def matmul3(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Batched tiny matmul ``A @ B`` for ``[..., 3, 3]`` operands.
+
+    Broadcast-multiply-sum instead of dot_general: exact f32 on the VPU in
+    one fused kernel.  (``precision='highest'`` matmuls lower to multi-pass
+    bf16 emulation on v5e-class MXUs — more kernels and slower for tiny
+    matrices.)  ``A`` or ``B`` may be a single ``[3, 3]``.
+    """
+    return jnp.sum(A[..., :, :, None] * jnp.expand_dims(B, -3), axis=-2)
+
+
+def rotate_mat3(R: jax.Array, C: jax.Array) -> jax.Array:
+    """``R C R^T`` over batched ``C [..., 3, 3]``; ``R`` is ``[3, 3]`` or
+    batched ``[..., 3, 3]``.  Exact f32 on the VPU (see :func:`matmul3`)."""
+    # tmp[...,i,l] = sum_j R[...,i,j] C[...,j,l]
+    tmp = jnp.sum(R[..., :, :, None] * jnp.expand_dims(C, -3), axis=-2)
+    # out[...,i,l] = sum_k tmp[...,i,k] R[...,l,k]
+    return jnp.sum(tmp[..., :, None, :] * jnp.expand_dims(R, -3), axis=-1)
+
+
+def matvec3(R: jax.Array, v: jax.Array) -> jax.Array:
+    """``R v`` for one ``R [3,3]`` over batched ``v [..., 3]`` (VPU, exact f32)."""
+    return jnp.sum(R * v[..., None, :], axis=-1)
+
+
+def rot_times_skew(R: jax.Array, p: jax.Array) -> jax.Array:
+    """``R @ skew(p)`` per point -> ``[..., 3, 3]`` without a matmul:
+    column j is a signed combination of R's columns (exact f32, fused)."""
+    x, y, z = p[..., 0, None], p[..., 1, None], p[..., 2, None]
+    c0, c1, c2 = R[:, 0], R[:, 1], R[:, 2]
+    col0 = z * c1 - y * c2
+    col1 = -z * c0 + x * c2
+    col2 = y * c0 - x * c1
+    return jnp.stack([col0, col1, col2], axis=-1)
+
+
 def cholesky3(A: jax.Array, jitter: float = 0.0) -> jax.Array:
     """Lower Cholesky factor of SPD ``[..., 3, 3]`` (analytic, batched)."""
     a00 = A[..., 0, 0] + jitter
