@@ -60,7 +60,9 @@ def marginal_ms(fn, q, t, mask, reps=(1, 9), iters=3):
         def run(q, t, mask, salt):
             def body(_, carry):
                 qc, acc = carry
-                i, d = nn1(qc + 0.0 * acc, t, mask)
+                # 1e-12*acc: real data dependence (0.0*acc would be folded
+                # and the body hoisted out of the loop).
+                i, d = nn1(qc + 1e-12 * acc, t, mask)
                 return qc, acc + d[0] + i.astype(jnp.float32)[0]
 
             _, acc = jax.lax.fori_loop(0, n, body, (q + salt, jnp.float32(0.0)))

@@ -28,10 +28,16 @@ _TARGET_CHUNK = 512
 _BIG = 3.0e38
 
 
-def _nn1_kernel(q_ref, t_ref, tt_ref, mask_ref, d_ref, i_ref):
-    """One query tile vs the full target (chunked)."""
+def _nn1_kernel(q_ref, t_ref, mask_ref, d_ref, i_ref):
+    """One query tile vs the full target (chunked).
+
+    Distances are the unrolled per-coordinate broadcast sum_k (q_k - t_k)^2:
+    exact f32 on the VPU.  (An MXU dot would round coordinate products to
+    bf16 — ~32% wrong neighbors on real scans — and 'highest' emulation
+    measures 4x slower for a contraction dim of 3.)
+    """
     q = q_ref[:]  # [TQ, 4] (xyz + zero pad)
-    qq = jnp.sum(q * q, axis=-1, keepdims=True)  # [TQ, 1]
+    q0, q1, q2 = q[:, 0:1], q[:, 1:2], q[:, 2:3]  # [TQ, 1] each
     M = t_ref.shape[1]
     n_chunks = M // _TARGET_CHUNK
 
@@ -39,8 +45,10 @@ def _nn1_kernel(q_ref, t_ref, tt_ref, mask_ref, d_ref, i_ref):
         best_d, best_i = carry
         sl = pl.ds(c * _TARGET_CHUNK, _TARGET_CHUNK)
         tc = t_ref[:, sl]  # [4, C]
-        cross = jnp.dot(q, tc, preferred_element_type=jnp.float32)  # MXU [TQ, C]
-        d2 = qq + tt_ref[:, sl] - 2.0 * cross
+        e0 = q0 - tc[0:1, :]
+        e1 = q1 - tc[1:2, :]
+        e2 = q2 - tc[2:3, :]
+        d2 = e0 * e0 + e1 * e1 + e2 * e2  # [TQ, C]
         d2 = jnp.where(mask_ref[:, sl] != 0, d2, _BIG)
         cd = jnp.min(d2, axis=1)
         ci = jnp.argmin(d2, axis=1).astype(jnp.int32) + c * _TARGET_CHUNK
@@ -67,9 +75,6 @@ def nn1_pallas(
 
     q = jnp.zeros((Qp, 4), jnp.float32).at[:Q, :3].set(query_points)
     t = jnp.zeros((4, Mp), jnp.float32).at[:3, :M].set(target_points.T)
-    tt = jnp.zeros((1, Mp), jnp.float32).at[0, :M].set(
-        jnp.sum(target_points * target_points, axis=-1)
-    )
     mask = jnp.zeros((1, Mp), jnp.int32).at[0, :M].set(target_mask.astype(jnp.int32))
 
     grid = (Qp // _QUERY_TILE,)
@@ -79,7 +84,6 @@ def nn1_pallas(
         in_specs=[
             pl.BlockSpec((_QUERY_TILE, 4), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, Mp), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Mp), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -91,6 +95,6 @@ def nn1_pallas(
             jax.ShapeDtypeStruct((Qp,), jnp.int32),
         ],
         interpret=interpret,
-    )(q, t, tt, mask)
+    )(q, t, mask)
     d = jnp.where(d >= _BIG, jnp.inf, d)
     return i[:Q], d[:Q]
