@@ -46,8 +46,10 @@ def log(msg):
 
 def preprocess(cloud: PointCloud, cap: int) -> PointCloud:
     c = box_filter(cloud, 0.5, 50.0)
-    c = voxel_downsample(c, VOXEL)
-    c = compact_device(c, out_capacity=cap)
+    # Downsample straight into the post-voxel capacity: the segment reduce
+    # already emits voxels densely from slot 0, so no separate compaction
+    # pass over the raw-capacity arrays is needed.
+    c = voxel_downsample(c, VOXEL, out_capacity=cap)
     knn = brute_force_knn(c.points, c.mask, c.points, K)
     covs = estimate_covariances(c.points, knn)
     normals = extract_normals(c.points, covs)

@@ -23,7 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sycl_points_tpu.points.point_cloud import round_up
 
-_QUERY_TILE = 256
+# 1024 matches the XLA layout tiling for 1-D f32 outputs (Mosaic verifies
+# the operand layout against the block shape).
+_QUERY_TILE = 1024
 _TARGET_CHUNK = 512
 _BIG = 3.0e38
 

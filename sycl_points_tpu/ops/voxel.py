@@ -68,8 +68,8 @@ def _segment_ids_from_sorted_coords(coords_sorted: jax.Array):
 MAX_CELLS_PER_AXIS = 1024
 
 
-def sort_by_cell(coords: jax.Array, ok: jax.Array):
-    """Sort rows by cell with ONE device sort.
+def cell_sort_ids(coords: jax.Array, ok: jax.Array):
+    """Sort rows by cell with ONE device sort; no coordinate gather.
 
     The reference packs 3 x 21-bit coords into a uint64 key
     (voxel_constants.hpp); without 64-bit types a lexsort needs 3 sort
@@ -77,7 +77,8 @@ def sort_by_cell(coords: jax.Array, ok: jax.Array):
     packed into a single int32 (3 x 10 bits) — one sort pass, ~3x cheaper.
     Invalid/out-of-budget rows get the maximal key and sort to the tail.
 
-    Returns (order, coords_sorted, ok_sorted, seg_id, new_seg).
+    Returns (order, ok_sorted, seg_id, new_seg); ``ok_sorted`` comes from
+    the sorted key itself (invalid == sentinel), saving a gather.
     """
     big = jnp.int32(2**30)
     masked = jnp.where(ok[:, None], coords, big)
@@ -90,9 +91,19 @@ def sort_by_cell(coords: jax.Array, ok: jax.Array):
     key = jnp.where(in_bound, key, jnp.int32(2**31 - 1))
     order = jnp.argsort(key)
     key_s = key[order]
+    ok_s = key_s != jnp.int32(2**31 - 1)
     new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    return order, coords[order], in_bound[order], seg_id, new_seg
+    return order, ok_s, seg_id, new_seg
+
+
+def sort_by_cell(coords: jax.Array, ok: jax.Array):
+    """:func:`cell_sort_ids` plus the gathered sorted coordinates.
+
+    Returns (order, coords_sorted, ok_sorted, seg_id, new_seg).
+    """
+    order, ok_s, seg_id, new_seg = cell_sort_ids(coords, ok)
+    return order, coords[order], ok_s, seg_id, new_seg
 
 
 def voxel_downsample(
@@ -122,16 +133,20 @@ def downsample_by_coords(
 
     # Single-pass packed-key device sort; invalid points share the maximal
     # key and sort to the tail as one segment with zero weight.
-    order, coords_s, ok_s, seg_id, _ = sort_by_cell(coords, ok)
+    order, ok_s, seg_id, _ = cell_sort_ids(coords, ok)
     pts_s = cloud.points[order]
     w = ok_s.astype(cloud.points.dtype)
 
-    counts = jax.ops.segment_sum(w, seg_id, num_segments=out_cap)
-    counts_safe = jnp.maximum(counts, 1.0)
-    centroid = (
-        jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=out_cap)
-        / counts_safe[:, None]
+    # One fused [N, 4] segment reduction: (w*x, w*y, w*z, w) — centroid sums
+    # and counts in a single pass over the big array.
+    moments = jax.ops.segment_sum(
+        jnp.concatenate([pts_s * w[:, None], w[:, None]], axis=1),
+        seg_id,
+        num_segments=out_cap,
     )
+    counts = moments[:, 3]
+    counts_safe = jnp.maximum(counts, 1.0)
+    centroid = moments[:, :3] / counts_safe[:, None]
     voxel_ok = counts >= float(min_voxel_count)
 
     rgb = None

@@ -483,29 +483,50 @@ def align(
                 err, inl = error_fn(T_c, corr, alpha, r_scale, rot_scale_)
                 return delta, T_c, err, inl
 
-            deltas, T_cands, errs, inls = jax.vmap(trial)(lams)
+            # Two-stage: candidate 0 (the current lambda) accepts on most
+            # iterations, so evaluate it alone first and only fall back to
+            # the batched candidate sweep when it rejects — lax.cond executes
+            # one branch at runtime, cutting the common-case iteration from C
+            # full-cloud error evaluations to one.
+            delta0, T_c0, err0, inl0 = trial(lams[0])
+            accept0 = err0 <= cur_err
 
-            accept = errs <= cur_err
-            prev_errs = jnp.concatenate(
-                [jnp.full((1,), jnp.finfo(jnp.float32).max), errs[:-1]]
-            )
-            plateau = jnp.abs(errs - prev_errs) <= 1e-6
-            take = accept | plateau
-            any_take = jnp.any(take)
-            idx = jnp.argmax(take)  # first taken candidate (reference order)
+            def fast(_):
+                lam_next = jnp.clip(
+                    lams[0] / p.lambda_factor, p.min_lambda, p.max_lambda
+                )
+                return (
+                    _is_converged(params, delta0), T_c0, err0, inl0, lam_next
+                )
 
-            accepted = any_take & accept[idx]
-            conv = jnp.where(any_take, _is_converged(params, deltas[idx]), False)
-            T_new = jnp.where(any_take, T_cands[idx], s.T)
-            err_new = jnp.where(any_take, errs[idx], cur_err)
-            inl_new = jnp.where(any_take, inls[idx], inlier)
-            lam_exhausted = jnp.clip(
-                s.lm_lambda * p.lambda_factor**C, p.min_lambda, p.max_lambda
-            )
-            lam_next = jnp.where(
-                accepted,
-                jnp.clip(lams[idx] / p.lambda_factor, p.min_lambda, p.max_lambda),
-                jnp.where(any_take, lams[idx], lam_exhausted),
+            def slow(_):
+                deltas, T_cands, errs, inls = jax.vmap(trial)(lams)
+                accept = errs <= cur_err
+                prev_errs = jnp.concatenate(
+                    [jnp.full((1,), jnp.finfo(jnp.float32).max), errs[:-1]]
+                )
+                plateau = jnp.abs(errs - prev_errs) <= 1e-6
+                take = accept | plateau
+                any_take = jnp.any(take)
+                idx = jnp.argmax(take)  # first taken candidate (reference order)
+
+                accepted = any_take & accept[idx]
+                conv = jnp.where(any_take, _is_converged(params, deltas[idx]), False)
+                T_new = jnp.where(any_take, T_cands[idx], s.T)
+                err_new = jnp.where(any_take, errs[idx], cur_err)
+                inl_new = jnp.where(any_take, inls[idx], inlier)
+                lam_exhausted = jnp.clip(
+                    s.lm_lambda * p.lambda_factor**C, p.min_lambda, p.max_lambda
+                )
+                lam_next = jnp.where(
+                    accepted,
+                    jnp.clip(lams[idx] / p.lambda_factor, p.min_lambda, p.max_lambda),
+                    jnp.where(any_take, lams[idx], lam_exhausted),
+                )
+                return (conv, T_new, err_new, inl_new, lam_next)
+
+            conv, T_new, err_new, inl_new, lam_next = jax.lax.cond(
+                accept0, fast, slow, operand=None
             )
             trust_next = s.trust_radius
         elif params.optimization_method == "powell_dogleg":
