@@ -20,7 +20,7 @@ import numpy as np
 
 from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals
 from sycl_points_tpu.ops.filters import box_filter
-from sycl_points_tpu.ops.knn import BruteForceKNN, brute_force_knn
+from sycl_points_tpu.ops.knn import BruteForceKNN, approx_knn, brute_force_knn
 from sycl_points_tpu.ops.robust import RobustLossType
 from sycl_points_tpu.ops.voxel import voxel_downsample
 from sycl_points_tpu.points import io
@@ -50,7 +50,9 @@ def preprocess(cloud: PointCloud, cap: int) -> PointCloud:
     # already emits voxels densely from slot 0, so no separate compaction
     # pass over the raw-capacity arrays is needed.
     c = voxel_downsample(c, VOXEL, out_capacity=cap)
-    knn = brute_force_knn(c.points, c.mask, c.points, K)
+    # Neighborhoods for covariance estimation: approx_max_k (98% recall,
+    # 7.7x faster; exact on CPU).  The ICP correspondence search stays exact.
+    knn = approx_knn(c.points, c.mask, c.points, K)
     covs = estimate_covariances(c.points, knn)
     normals = extract_normals(c.points, covs)
     return c.replace(covs=covs, normals=normals)
@@ -204,7 +206,7 @@ def main():
     log(f"preprocess one scan: {dt_pre*1e3:.2f} ms (corrected)")
 
     pre = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(src))
-    knn_fn = jax.jit(lambda c: brute_force_knn(c.points, c.mask, c.points, K).distances.sum())
+    knn_fn = jax.jit(lambda c: approx_knn(c.points, c.mask, c.points, K).distances.sum())
     dt_knn, _ = timeit_sync(knn_fn, pre)
     log(f"self-KNN k={K} on {cap}: {dt_knn*1e3:.2f} ms ({cap/dt_knn/1e6:.1f} Mq/s, corrected)")
 

@@ -131,42 +131,60 @@ def downsample_by_coords(
     N = cloud.capacity
     out_cap = out_capacity or N
 
-    # Single-pass packed-key device sort; invalid points share the maximal
-    # key and sort to the tail as one segment with zero weight.
-    order, ok_s, seg_id, _ = cell_sort_ids(coords, ok)
-    pts_s = cloud.points[order]
+    # Single-pass packed-key device sort with ALL per-point attributes riding
+    # as sort payloads: lax.sort moves the payload rows during the sort, which
+    # measures 2x faster than argsort + row gathers at 98k points (TPU row
+    # gathers are the expensive part, not the sort).  Invalid points share
+    # the maximal key and sort to the tail as one zero-weight segment.
+    big = jnp.int32(2**30)
+    masked = jnp.where(ok[:, None], coords, big)
+    cmin = jnp.min(masked, axis=0)
+    rel = coords - cmin
+    in_bound = ok & jnp.all((rel >= 0) & (rel < MAX_CELLS_PER_AXIS), axis=-1)
+    key = (
+        (rel[:, 0] * MAX_CELLS_PER_AXIS + rel[:, 1]) * MAX_CELLS_PER_AXIS + rel[:, 2]
+    )
+    key = jnp.where(in_bound, key, jnp.int32(2**31 - 1))
+
+    payload = [cloud.points[:, 0], cloud.points[:, 1], cloud.points[:, 2]]
+    n_rgb = n_ts = n_int = 0
+    if cloud.rgb is not None:
+        payload += [cloud.rgb[:, 0], cloud.rgb[:, 1], cloud.rgb[:, 2]]
+        n_rgb = 3
+    if cloud.timestamp_offsets is not None:
+        payload.append(cloud.timestamp_offsets)
+        n_ts = 1
+    if cloud.intensities is not None:
+        payload.append(cloud.intensities)
+        n_int = 1
+    sorted_ops = jax.lax.sort((key, *payload), num_keys=1)
+    key_s, cols = sorted_ops[0], list(sorted_ops[1:])
+
+    ok_s = key_s != jnp.int32(2**31 - 1)
+    new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
     w = ok_s.astype(cloud.points.dtype)
 
-    # One fused [N, 4] segment reduction: (w*x, w*y, w*z, w) — centroid sums
-    # and counts in a single pass over the big array.
+    # One fused [N, C] segment reduction over every mean-aggregated channel
+    # (+ the count column) — a single pass over the big array.
+    mean_cols = cols[: 3 + n_rgb + n_ts]
     moments = jax.ops.segment_sum(
-        jnp.concatenate([pts_s * w[:, None], w[:, None]], axis=1),
+        jnp.stack([c * w for c in mean_cols] + [w], axis=1),
         seg_id,
         num_segments=out_cap,
+        indices_are_sorted=True,
     )
-    counts = moments[:, 3]
+    counts = moments[:, -1]
     counts_safe = jnp.maximum(counts, 1.0)
-    centroid = moments[:, :3] / counts_safe[:, None]
+    means = moments[:, :-1] / counts_safe[:, None]
+    centroid = means[:, :3]
     voxel_ok = counts >= float(min_voxel_count)
 
-    rgb = None
-    if cloud.rgb is not None:
-        rgb = (
-            jax.ops.segment_sum(cloud.rgb[order] * w[:, None], seg_id, num_segments=out_cap)
-            / counts_safe[:, None]
-        )
-    ts = None
-    if cloud.timestamp_offsets is not None:
-        ts = (
-            jax.ops.segment_sum(cloud.timestamp_offsets[order] * w, seg_id, num_segments=out_cap)
-            / counts_safe
-        )
-
+    rgb = means[:, 3 : 3 + n_rgb] if n_rgb else None
+    ts = means[:, 3 + n_rgb] if n_ts else None
     intens = None
-    if cloud.intensities is not None:
-        intens = _segment_median(
-            cloud.intensities[order], seg_id, w, counts, out_cap
-        )
+    if n_int:
+        intens = _segment_median(cols[-1], seg_id, w, counts, out_cap)
 
     return PointCloud(
         points=centroid,

@@ -21,7 +21,7 @@ import numpy as np
 from sycl_points_tpu.mapping import occupancy_grid as og
 from sycl_points_tpu.mapping import voxel_hash_map as vhm
 from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals
-from sycl_points_tpu.ops.knn import BruteForceKNN, brute_force_knn
+from sycl_points_tpu.ops.knn import BruteForceKNN, approx_knn, brute_force_knn
 from sycl_points_tpu.ops.sampling import mixed_sampling, random_sampling
 from sycl_points_tpu.ops.transform import transform_cloud
 from sycl_points_tpu.points.point_cloud import PointCloud, compact_device
@@ -113,7 +113,7 @@ class Submap:
         k_ = params.covariance_estimation.neighbor_num
 
         def _finalize(cloud):
-            knn = brute_force_knn(cloud.points, cloud.mask, cloud.points, k_)
+            knn = approx_knn(cloud.points, cloud.mask, cloud.points, k_)
             covs = cloud.covs if cloud.covs is not None else estimate_covariances(cloud.points, knn)
             normals = cloud.normals
             if self._need_normals and normals is None:
