@@ -180,9 +180,45 @@ def filter_by_mask(cloud: PointCloud, keep: jax.Array) -> PointCloud:
     return cloud.replace(mask=cloud.mask & keep)
 
 
+def merge_with_timestamps(
+    a: PointCloud,
+    b: PointCloud,
+    a_start_ms: jax.Array | float = 0.0,
+    b_start_ms: jax.Array | float = 0.0,
+):
+    """:func:`merge` with the reference's timestamp-base reconciliation
+    (``PointCloudShared::merge_timestamp_offsets`` /
+    ``shift_timestamp_base``, points/point_cloud.hpp:393-475): the merged
+    cloud's start time is ``min(a_start, b_start)`` and each side's offsets
+    are shifted by its base delta; if either side lacks timestamps the merged
+    cloud has none (the reference invalidates them for consistency).
+
+    Returns ``(merged_cloud, start_time_ms)``.
+    """
+    a_has = a.timestamp_offsets is not None
+    b_has = b.timestamp_offsets is not None
+    if not (a_has and b_has):
+        m = merge(a, b)
+        if m.timestamp_offsets is not None:
+            m = m.replace(timestamp_offsets=None)
+        start = a_start_ms if a_has else (b_start_ms if b_has else 0.0)
+        return m, start
+
+    a_start = jnp.asarray(a_start_ms, jnp.float32)
+    b_start = jnp.asarray(b_start_ms, jnp.float32)
+    new_start = jnp.minimum(a_start, b_start)
+    a2 = a.replace(timestamp_offsets=a.timestamp_offsets + (a_start - new_start))
+    b2 = b.replace(timestamp_offsets=b.timestamp_offsets + (b_start - new_start))
+    return merge(a2, b2), new_start
+
+
 def merge(a: PointCloud, b: PointCloud) -> PointCloud:
     """Concatenate two clouds (static capacities add; analog of
-    ``PointCloudShared::extend``, ``points/point_cloud.hpp:393-475``)."""
+    ``PointCloudShared::extend``, ``points/point_cloud.hpp:319-372``).
+
+    Timestamp offsets concatenate as-is; when the two clouds have different
+    start times use :func:`merge_with_timestamps` for the reference's
+    base-shift semantics."""
     def cat(x, y, like_a, like_b):
         if x is None and y is None:
             return None

@@ -80,3 +80,27 @@ def test_compact_device():
     assert int(compacted.count()) == 50
     expected = d["points"][np.arange(100) % 2 == 0]
     np.testing.assert_allclose(compacted.to_numpy()["points"], expected)
+
+
+def test_merge_with_timestamps_base_shift():
+    # Reference semantics (PointCloudShared::merge_timestamp_offsets):
+    # merged start = min(starts), offsets shift by each side's base delta.
+    from sycl_points_tpu.points.point_cloud import PointCloud, merge_with_timestamps
+
+    a = PointCloud.from_numpy(np.zeros((2, 3), np.float32), capacity=2).replace(
+        timestamp_offsets=jnp.asarray([0.0, 10.0], jnp.float32)
+    )
+    b = PointCloud.from_numpy(np.ones((2, 3), np.float32), capacity=2).replace(
+        timestamp_offsets=jnp.asarray([0.0, 5.0], jnp.float32)
+    )
+    m, start = merge_with_timestamps(a, b, a_start_ms=100.0, b_start_ms=95.0)
+    assert float(start) == 95.0
+    np.testing.assert_allclose(
+        np.asarray(m.timestamp_offsets), [5.0, 15.0, 0.0, 5.0]
+    )
+
+    # One side without timestamps -> merged cloud has none (invalidated).
+    b2 = PointCloud.from_numpy(np.ones((2, 3), np.float32), capacity=2)
+    m2, start2 = merge_with_timestamps(a, b2, a_start_ms=100.0)
+    assert m2.timestamp_offsets is None
+    assert float(start2) == 100.0
