@@ -200,15 +200,45 @@ def main():
     dt = max((t9 - t1) / 8.0, 1e-6)
     log(f"sustained scan pair (marginal, in-program): {dt*1e3:.2f} ms")
 
-    # --- secondary metrics (BASELINE.json: KNN Mqueries/s, preprocess ms) ---
-    pre_fn = jax.jit(lambda c: preprocess(c, cap).points.sum())
-    dt_pre, _ = timeit_sync(pre_fn, src)
-    log(f"preprocess one scan: {dt_pre*1e3:.2f} ms (corrected)")
+    # --- secondary metrics (BASELINE.json: KNN Mqueries/s, preprocess ms).
+    # Same marginal in-program protocol as the headline: salted loop bodies
+    # defeat the runtime's per-(executable, inputs) result memoization that
+    # makes call-level timing report zeros.
+    def marginal_ms(make_body, reps=(1, 17), iters=5):
+        def make(n):
+            @jax.jit
+            def run(salt):
+                return jax.lax.fori_loop(0, n, make_body, salt)
+            return run
+        ts = {}
+        for n in reps:
+            run = make(n)
+            float(run(jnp.float32(0.0)))
+            best = np.inf
+            for i in range(iters):
+                t0 = time.perf_counter()
+                float(run(jnp.float32(1e-6 * (i + 1))))
+                best = min(best, time.perf_counter() - t0)
+            ts[n] = best
+        return max((ts[reps[1]] - ts[reps[0]]) / (reps[1] - reps[0]) * 1e3, 1e-3)
+
+    def pre_body(i, acc):
+        c = preprocess(src.replace(points=src.points + 1e-12 * acc), cap)
+        return acc + c.points[0, 0]
+
+    dt_pre = marginal_ms(pre_body) / 1e3
+    log(f"preprocess one scan: {dt_pre*1e3:.2f} ms (marginal)")
 
     pre = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(src))
-    knn_fn = jax.jit(lambda c: approx_knn(c.points, c.mask, c.points, K).distances.sum())
-    dt_knn, _ = timeit_sync(knn_fn, pre)
-    log(f"self-KNN k={K} on {cap}: {dt_knn*1e3:.2f} ms ({cap/dt_knn/1e6:.1f} Mq/s, corrected)")
+
+    def knn_body(i, acc):
+        p = pre.points + 1e-12 * acc
+        r = approx_knn(p, pre.mask, p, K)
+        return acc + r.distances[0, 0]
+
+    # The op is sub-ms: needs a wide rep spread to resolve above floor noise.
+    dt_knn = marginal_ms(knn_body, reps=(1, 129)) / 1e3
+    log(f"self-KNN k={K} on {cap}: {dt_knn*1e3:.2f} ms ({cap/dt_knn/1e6:.1f} Mq/s, marginal)")
 
     # accuracy sanity vs the committed ground truth
     T_gt = np.loadtxt(f"{REF_DATA}/T_target_source.txt")
