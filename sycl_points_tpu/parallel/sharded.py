@@ -92,3 +92,48 @@ def sharded_knn(mesh: Mesh, target: PointCloud, queries: jax.Array, k: int):
         return brute_force_knn(tp, tm, qq, k)
 
     return run(tgt.points, tgt.mask, q)
+
+
+def stack_clouds(clouds):
+    """Stack same-capacity clouds into one batched PointCloud pytree with a
+    leading batch axis (for :func:`align_pairs_batched`)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *clouds)
+
+
+def align_pairs_batched(mesh: Mesh, sources: PointCloud, targets: PointCloud,
+                        params, initial_guesses=None, axis: str = "points"):
+    """Data-parallel batch registration: align B independent scan pairs with
+    the batch axis sharded over the mesh — each chip processes its own pairs
+    with zero cross-chip traffic (the serving-throughput layout, vs
+    :func:`sharded_align` which splits ONE pair across chips for latency).
+
+    ``sources``/``targets`` are batched clouds from :func:`stack_clouds`
+    (leading dim B divisible by the mesh size).  Returns a batched
+    RegistrationResult.  The vmapped while_loop runs each batch element until
+    all converge (identical per-pair results; converged pairs idle).
+    """
+    from sycl_points_tpu.ops.knn import BruteForceKNN
+    from sycl_points_tpu.registration.registration import align
+
+    B = sources.points.shape[0]
+    sharding = NamedSharding(mesh, P(axis))
+
+    def put(a):
+        return None if a is None else jax.device_put(a, sharding)
+
+    srcs = jax.tree_util.tree_map(put, sources)
+    tgts = jax.tree_util.tree_map(put, targets)
+    if initial_guesses is None:
+        initial_guesses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    T0 = jax.device_put(initial_guesses, sharding)
+
+    @jax.jit
+    def run(s, t, T):
+        def one(s1, t1, T1):
+            # XLA-path KNN inside vmap (the Pallas kernel is per-pair).
+            knn = BruteForceKNN(points=t1.points, mask=t1.mask, use_pallas=False)
+            return align(s1, t1, knn, params, initial_guess=T1)
+
+        return jax.vmap(one)(s, t, T)
+
+    return run(srcs, tgts, T0)

@@ -36,3 +36,41 @@ def test_sharded_matches_single_device():
     got = sharded_align(mesh, source, target, params)
     np.testing.assert_allclose(np.asarray(got.T), np.asarray(ref.T), atol=1e-4)
     assert int(got.inlier) == int(ref.inlier)
+
+
+def test_align_pairs_batched_matches_sequential():
+    from sycl_points_tpu.parallel.sharded import (
+        align_pairs_batched, make_mesh, stack_clouds,
+    )
+    from sycl_points_tpu.ops.knn import BruteForceKNN
+    from sycl_points_tpu.points.point_cloud import PointCloud
+    from sycl_points_tpu.registration.factors import RegType
+    from sycl_points_tpu.registration.registration import RegistrationParams, align
+
+    rng = np.random.default_rng(5)
+    pairs = []
+    for b in range(8):
+        tgt_pts = rng.uniform(-5, 5, size=(200, 3)).astype(np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = [0.08 + 0.01 * b, -0.05, 0.02]
+        src_pts = (tgt_pts - T[:3, 3]).astype(np.float32)
+        pairs.append((
+            PointCloud.from_numpy(src_pts, capacity=256),
+            PointCloud.from_numpy(tgt_pts, capacity=256),
+        ))
+
+    params = RegistrationParams(
+        reg_type=RegType.POINT_TO_POINT,
+        optimization_method="gauss_newton",
+        max_iterations=15,
+    )
+    mesh = make_mesh(8)
+    srcs = stack_clouds([p[0] for p in pairs])
+    tgts = stack_clouds([p[1] for p in pairs])
+    batched = align_pairs_batched(mesh, srcs, tgts, params)
+
+    for b, (s, t) in enumerate(pairs):
+        ref = align(s, t, BruteForceKNN.build(t), params)
+        np.testing.assert_allclose(
+            np.asarray(batched.T)[b], np.asarray(ref.T), atol=5e-3
+        )
