@@ -20,11 +20,11 @@ import numpy as np
 
 from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals
 from sycl_points_tpu.ops.filters import box_filter
-from sycl_points_tpu.ops.knn import BruteForceKNN, approx_knn, brute_force_knn
+from sycl_points_tpu.ops.knn import BruteForceKNN, approx_knn
 from sycl_points_tpu.ops.robust import RobustLossType
 from sycl_points_tpu.ops.voxel import voxel_downsample
 from sycl_points_tpu.points import io
-from sycl_points_tpu.points.point_cloud import PointCloud, compact_device, pad_capacity_for
+from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 from sycl_points_tpu.registration.factors import RegType
 from sycl_points_tpu.registration.pipeline import (
     RandomSamplingParams,

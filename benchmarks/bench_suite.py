@@ -25,7 +25,7 @@ import numpy as np
 from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals
 from sycl_points_tpu.ops.filters import box_filter
 from sycl_points_tpu.ops.knn import BruteForceKNN, approx_knn
-from sycl_points_tpu.ops.polar import CoordinateSystem, polar_downsample
+from sycl_points_tpu.ops.polar import polar_downsample
 from sycl_points_tpu.ops.robust import RobustLossType
 from sycl_points_tpu.ops.sampling import farthest_point_sampling, random_sampling
 from sycl_points_tpu.ops.voxel import voxel_downsample
@@ -45,7 +45,6 @@ from sycl_points_tpu.registration.registration import (
     RotationConstraintParams,
     align,
 )
-from sycl_points_tpu.utils import lie
 
 REF_DATA = "/root/reference/cpp/data"
 

@@ -10,9 +10,7 @@ static capacity is wanted (:func:`sycl_points_tpu.points.point_cloud.compact_dev
 from __future__ import annotations
 
 import math
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from sycl_points_tpu.ops.knn import KNNResult

@@ -8,7 +8,6 @@ instead of per-work-item kernels.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils.smallmat import matvec3, rotate_mat3

@@ -27,7 +27,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from sycl_points_tpu.utils import lie
 from sycl_points_tpu.utils.eigh3 import eigvalsh3
 from sycl_points_tpu.utils.smallmat import (
     cholesky3,

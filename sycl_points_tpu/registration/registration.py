@@ -26,7 +26,6 @@ Parity map:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, NamedTuple, Optional
 
 import jax
