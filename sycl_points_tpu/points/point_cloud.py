@@ -42,10 +42,14 @@ def pad_capacity_for(n: int, lane: int = 256) -> int:
     if n <= lane:
         return lane
     p = 1 << (int(n - 1)).bit_length()  # next power of two
-    # allow a 1.25x tier between powers of two to cut padding waste
-    three_quarter = (p // 2) + (p // 4)
-    if n <= three_quarter:
-        return round_up(three_quarter, lane)
+    # quarter tiers between powers of two (1.25/1.5/1.75x the lower power):
+    # raw-capacity passes (sort, segment reduce) are linear in the padded
+    # size, so cutting padding waste is a direct preprocess win; four tiers
+    # per octave still keeps the compiled-shape count small.
+    for frac in (5, 6, 7):
+        tier = (p // 2) + (p // 8) * (frac - 4)
+        if n <= tier:
+            return round_up(tier, lane)
     return round_up(p, lane)
 
 
