@@ -6,7 +6,8 @@ dependency:
   * :func:`from_pointcloud2_bytes` parses a PointCloud2-layout byte buffer
     (field table + point_step records) into numpy arrays — the analog of
     ``ros2/convert.hpp:34`` fromROS2msg (xyz + intensity/rgb/time variants);
-  * :func:`to_structured_array` packs a cloud dict back (toROS2msg analog);
+  * :func:`to_structured_array` / :func:`to_pointcloud2_bytes` pack a cloud
+    dict back (toROS2msg analog, ``ros2/convert.hpp:322``);
   * :class:`EnhancedReflectivityCorrector` reproduces the Ouster-specific
     intensity enhancement (``ros2/enhanced_reflectivity.hpp:30-165``):
     range-compensated reflectivity + ambient merge with per-ring EMA
@@ -103,6 +104,42 @@ def to_structured_array(cloud: Dict[str, np.ndarray]) -> np.ndarray:
     if "timestamp_offsets" in cloud:
         rec["time"] = cloud["timestamp_offsets"]
     return rec
+
+
+def to_pointcloud2_bytes(cloud: Dict[str, np.ndarray]):
+    """Serialize a cloud dict into a PointCloud2-layout byte buffer.
+
+    Returns ``(data, fields, point_step)`` with ``fields`` as
+    ``(name, offset, datatype)`` tuples matching :func:`from_pointcloud2_bytes`
+    — the full round trip of the reference's ``toROS2msg``
+    (ros2/convert.hpp:322).  RGB is re-packed into the standard float32-viewed
+    0x00RRGGBB word.
+    """
+    rec = to_structured_array(cloud)
+    names = rec.dtype.names
+    if "rgb" in cloud:
+        rgbf = np.zeros(len(rec), np.float32)
+        c = np.clip(cloud["rgb"][:, :3] * 255.0, 0, 255).astype(np.uint32)
+        packed = (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
+        rgbf = packed.view(np.float32)
+        new_dtype = np.dtype(
+            [(n, rec.dtype.fields[n][0]) for n in names] + [("rgb", np.float32)]
+        )
+        rec2 = np.zeros(len(rec), dtype=new_dtype)
+        for n in names:
+            rec2[n] = rec[n]
+        rec2["rgb"] = rgbf
+        rec = rec2
+        names = rec.dtype.names
+    _DT_CODES = {np.dtype(np.float32): 7, np.dtype(np.float64): 8,
+                 np.dtype(np.uint32): 6, np.dtype(np.int32): 5,
+                 np.dtype(np.uint16): 4, np.dtype(np.int16): 3,
+                 np.dtype(np.uint8): 2, np.dtype(np.int8): 1}
+    fields = [
+        (n, rec.dtype.fields[n][1], _DT_CODES[rec.dtype.fields[n][0]])
+        for n in names
+    ]
+    return rec.tobytes(), fields, rec.dtype.itemsize
 
 
 def read_kitti_bin(path: str) -> Dict[str, np.ndarray]:

@@ -119,3 +119,27 @@ def test_kitti_runner_smoke(tmp_path):
     assert traj.shape == (3, 8)
     # moved forward ~0.4 m over 3 frames
     assert 0.1 < traj[-1, 1] < 0.7
+
+
+def test_pointcloud2_round_trip():
+    from sycl_points_tpu.points.conversion import (
+        from_pointcloud2_bytes, to_pointcloud2_bytes,
+    )
+
+    rng = np.random.default_rng(9)
+    cloud = {
+        "points": rng.normal(size=(50, 3)).astype(np.float32),
+        "intensities": rng.uniform(0, 255, size=50).astype(np.float32),
+        "timestamp_offsets": np.linspace(0, 90, 50).astype(np.float32),
+        "rgb": np.concatenate(
+            [rng.uniform(size=(50, 3)).astype(np.float32), np.ones((50, 1), np.float32)], 1
+        ),
+    }
+    data, fields, step = to_pointcloud2_bytes(cloud)
+    back = from_pointcloud2_bytes(data, fields, step)
+    np.testing.assert_allclose(back["points"], cloud["points"])
+    np.testing.assert_allclose(back["intensities"], cloud["intensities"])
+    np.testing.assert_allclose(
+        back["timestamp_offsets"], cloud["timestamp_offsets"], atol=1e-4
+    )
+    np.testing.assert_allclose(back["rgb"][:, :3], cloud["rgb"][:, :3], atol=1 / 255.0)
