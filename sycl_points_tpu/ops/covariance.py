@@ -49,13 +49,18 @@ def _weighted_moments(
     total_w_safe = jnp.maximum(total_w, 1e-30)
     # Broadcast-multiply-sum moment accumulation: exact f32 on the VPU (a
     # dot_general over the tiny k axis would go through multi-pass bf16
-    # MXU emulation at precision='highest').
+    # MXU emulation at precision='highest').  CENTERED two-pass form: the
+    # E[xx^T] - mu mu^T identity cancels catastrophically in f32 at LiDAR
+    # coordinate magnitudes (~30 m -> products ~900 vs covariances ~1e-4),
+    # yielding indefinite matrices with eigenvalues down to -3e-4; centering
+    # first keeps the result PSD to f32 roundoff.
     mean = jnp.sum(w[:, :, None] * nbr, axis=1) / total_w_safe[:, None]
-    second = (
-        jnp.sum(w[:, :, None, None] * nbr[:, :, :, None] * nbr[:, :, None, :], axis=1)
+    diff = nbr - mean[:, None, :]
+    second_c = (
+        jnp.sum(w[:, :, None, None] * diff[:, :, :, None] * diff[:, :, None, :], axis=1)
         / total_w_safe[:, None, None]
     )
-    cov = eigh3.ensure_symmetric(second - mean[:, :, None] * mean[:, None, :])
+    cov = eigh3.ensure_symmetric(second_c)
 
     success = (count >= max(min_num, 4)) & (total_w > jnp.finfo(jnp.float32).eps)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=points.dtype), cov.shape)

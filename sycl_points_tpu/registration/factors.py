@@ -27,9 +27,10 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from sycl_points_tpu.utils.eigh3 import eigvalsh3
+from sycl_points_tpu.utils.eigh3 import eigvalsh3, spd_inverse
 from sycl_points_tpu.utils.smallmat import (
     cholesky3,
+    matmul3,
     matvec3,
     rot_times_skew,
     rotate_mat3,
@@ -88,10 +89,33 @@ def _plane_rows(J, r, normals):
 
 
 def _mahalanobis_rows(J, r, sigma):
-    """Whiten with Sigma^-1: A = G^-1 J, c = G^-1 r for Sigma = G G^T."""
+    """Whiten with Sigma^-1: A = G^-1 J, c = G^-1 r for Sigma = G G^T.
+
+    Requires a conditioned Sigma (GICP passes plane-regularized covariance
+    sums); a near-singular Sigma would overflow 1/g22^2 in f32."""
     G = cholesky3(sigma)
     A = solve_lower3(G, J)
     c = solve_lower3(G, r)
+    return A, c, jnp.linalg.norm(c, axis=-1)
+
+
+def _mahalanobis_rows_from_inverse(J, r, sigma, floor: float = 1e-4):
+    """Whiten via the information matrix ``W = Sigma^-1``:
+    ``A = Gw^T J``, ``c = Gw^T r`` for ``W = Gw Gw^T``.
+
+    This is the reference's P2D formulation (compute_target_mahalanobis,
+    factor.hpp:312-317: 3x3 inverse of the target covariance).  Divergence
+    for robustness: estimated f32 covariances of planar LiDAR neighborhoods
+    are indefinite to roundoff (eigenvalues down to -1e-4) and the f32
+    adjugate inverse of a near-singular Sigma is itself indefinite, which
+    makes the reference's unfactored J^T W J silently produce garbage rows;
+    here W comes from the eigendecomposition with a (1 cm)^2 eigenvalue floor
+    (SPD by construction), so the information Cholesky is always finite."""
+    W = spd_inverse(sigma, floor)
+    Gw = cholesky3(W)
+    Gt = jnp.swapaxes(Gw, -1, -2)
+    A = matmul3(Gt, J)
+    c = matvec3(Gt, r)
     return A, c, jnp.linalg.norm(c, axis=-1)
 
 
@@ -133,7 +157,7 @@ def whitened_rows(
         return WhitenedRows(A, c, rn, ones)
 
     if reg_type is RegType.POINT_TO_DISTRIBUTION:
-        A, c, rn = _mahalanobis_rows(J, r, tgt_covs_raw)
+        A, c, rn = _mahalanobis_rows_from_inverse(J, r, tgt_covs_raw)
         return WhitenedRows(A, c, rn, ones)
 
     if reg_type is RegType.GENZ:
@@ -178,8 +202,9 @@ def residual_norms_only(
         c = solve_lower3(G, r)
         return jnp.linalg.norm(c, axis=-1), ones
     if reg_type is RegType.POINT_TO_DISTRIBUTION:
-        G = cholesky3(tgt_covs_raw)
-        c = solve_lower3(G, r)
+        W = spd_inverse(tgt_covs_raw, 1e-4)
+        Gt = jnp.swapaxes(cholesky3(W), -1, -2)
+        c = matvec3(Gt, r)
         return jnp.linalg.norm(c, axis=-1), ones
     if reg_type is RegType.GENZ:
         rn_pl = jnp.abs(jnp.sum(tgt_normals * r, axis=-1))

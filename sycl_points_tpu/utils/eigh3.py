@@ -223,3 +223,37 @@ def inv3(A: jax.Array) -> jax.Array:
 
 def ensure_symmetric(A: jax.Array) -> jax.Array:
     return 0.5 * (A + jnp.swapaxes(A, -1, -2))
+
+
+def floor_eigenvalues(cov: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """Clamp eigenvalues of symmetric ``[..., 3, 3]`` to at least ``eps``.
+
+    Conditions estimated covariances before inversion: f32 moment
+    accumulation on LiDAR-scale coordinates leaves planar neighborhoods
+    indefinite to roundoff (eigenvalues down to about -1e-4), which breaks
+    any Cholesky/inverse downstream.  Reconstruction via
+    ``cov + V (max(lam, eps) - lam) V^T``.
+    """
+    lam, V = eigh3(cov)
+    bump = jnp.maximum(lam, eps) - lam  # [..., 3]
+    corr = jnp.sum(
+        bump[..., None, None, :] * V[..., :, None, :] * V[..., None, :, :], axis=-1
+    )
+    return ensure_symmetric(cov + corr)
+
+
+def spd_inverse(cov: jax.Array, min_eig: float = 1e-6) -> jax.Array:
+    """SPD-by-construction inverse of symmetric ``[..., 3, 3]``:
+    ``V diag(1/max(lam, min_eig)) V^T``.
+
+    The adjugate/determinant inverse (:func:`inv3`) cancels catastrophically
+    in f32 for ill-conditioned covariances (det ~ 1e-10 while cofactor
+    round-off is ~1e-8), producing *indefinite* results; going through the
+    closed-form eigendecomposition costs a few more flops and is always a
+    valid information matrix.
+    """
+    lam, V = eigh3(cov)
+    inv_lam = 1.0 / jnp.maximum(lam, min_eig)
+    return ensure_symmetric(
+        jnp.sum(inv_lam[..., None, None, :] * V[..., :, None, :] * V[..., None, :, :], axis=-1)
+    )

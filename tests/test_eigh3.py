@@ -94,3 +94,38 @@ def test_inv3():
     Ainv = np.asarray(eigh3.inv3(jnp.asarray(A)))
     I = np.einsum("nij,njk->nik", A, Ainv)
     np.testing.assert_allclose(I, np.broadcast_to(np.eye(3), I.shape), atol=2e-2)
+
+
+def test_spd_inverse_ill_conditioned_stays_spd():
+    # Real matrix from the bundled target cloud that broke the adjugate
+    # inverse: condition number ~5e4, f32 det round-off makes inv3's result
+    # indefinite, while spd_inverse must stay SPD.
+    from sycl_points_tpu.utils.eigh3 import eigvalsh3, spd_inverse
+    from sycl_points_tpu.utils.smallmat import cholesky3
+
+    C = jnp.asarray(
+        [
+            [2.25846246e-01, -1.67487249e-01, 4.38200030e-03],
+            [-1.67487249e-01, 1.24333516e-01, -3.24862148e-03],
+            [4.38200030e-03, -3.24862148e-03, 8.50359575e-05],
+        ],
+        jnp.float32,
+    )[None]
+    W = spd_inverse(C, 1e-6)
+    lam = np.asarray(eigvalsh3(W))[0]
+    assert lam[0] > 0, lam
+    G = np.asarray(cholesky3(W))
+    assert np.all(np.isfinite(G))
+    # inverse property on the well-conditioned subspace
+    I_apx = np.asarray(W)[0] @ np.asarray(C)[0]
+    assert np.all(np.isfinite(I_apx))
+
+
+def test_floor_eigenvalues():
+    from sycl_points_tpu.utils.eigh3 import eigvalsh3, floor_eigenvalues
+
+    C = jnp.asarray(np.diag([1e-8, -1e-4, 1.0]).astype(np.float32))[None]
+    F = floor_eigenvalues(C, 1e-6)
+    lam = np.asarray(eigvalsh3(F))[0]
+    assert lam.min() >= 0.9e-6
+    np.testing.assert_allclose(lam[2], 1.0, rtol=1e-5)

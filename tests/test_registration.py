@@ -133,3 +133,32 @@ def test_jit_align_compiles_once(scene):
     fn = jax.jit(lambda s, t, k, T0: align(s, t, k, params, initial_guess=T0))
     res = fn(source, target, knn, jnp.eye(4))
     _check(res, atol_t=0.02, atol_r=0.02)
+
+
+def test_p2d_planar_degenerate_covariances_stay_finite():
+    # P2D against razor-thin (roundoff-indefinite) target covariances must
+    # produce finite whitened rows (factor.hpp:312-317 analog with the
+    # SPD-by-construction information matrix).
+    from sycl_points_tpu.registration.factors import whitened_rows
+
+    rng = np.random.default_rng(3)
+    n = 64
+    src = rng.normal(size=(n, 3)).astype(np.float32) * 20.0
+    tgt = src + rng.normal(scale=0.01, size=(n, 3)).astype(np.float32)
+    # planar covariances with a slightly negative smallest eigenvalue
+    v = rng.normal(size=(n, 3)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    covs = (
+        np.eye(3, dtype=np.float32)[None] * 1e-1
+        - (1e-1 + 5e-5) * v[:, :, None] * v[:, None, :]
+    )
+    rows = whitened_rows(
+        RegType.POINT_TO_DISTRIBUTION,
+        jnp.eye(4),
+        jnp.asarray(src),
+        jnp.asarray(tgt),
+        tgt_covs_raw=jnp.asarray(covs),
+    )
+    assert np.all(np.isfinite(np.asarray(rows.A)))
+    assert np.all(np.isfinite(np.asarray(rows.c)))
+    assert np.all(np.isfinite(np.asarray(rows.residual_norm)))
