@@ -258,6 +258,7 @@ def main():
         (config2_preprocess_suite, (src, cap)),
         (config4_genz_vicp, (src, tgt, cap)),
         (config5_odometry_step, (src, tgt, cap)),
+        (config6_lio_step, (src, tgt, cap)),
     ):
         t0 = time.perf_counter()
         r = fn(*a)
@@ -268,6 +269,38 @@ def main():
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
+
+
+
+
+def config6_lio_step(src, tgt, cap):
+    """Extra: 15-DOF LIO alignment step (GICP factor + IMU prior) —
+    the per-scan solver of the LiDAR-inertial pipeline."""
+    from sycl_points_tpu.imu.factor import State
+    from sycl_points_tpu.lio import lio_registration as lio
+
+    g0 = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(tgt))
+    s0 = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(src))
+    x_pred = State(
+        position=jnp.zeros(3), rotation=jnp.eye(3), velocity=jnp.zeros(3),
+        accel_bias=jnp.zeros(3), gyro_bias=jnp.zeros(3),
+    )
+    P = jnp.eye(15, dtype=jnp.float32) * 0.1
+
+    def body(i, acc):
+        s = s0.replace(points=s0.points + 1e-12 * acc)
+        res = lio.align(
+            s, g0, BruteForceKNN.build(g0), x_pred, P, P,
+            factor_params=RegistrationParams(
+                reg_type=RegType.GICP,
+                robust=RobustParams(type=RobustLossType.GEMAN_MCCLURE, default_scale=2.5),
+                optimization_method="levenberg_marquardt",
+            ),
+        )
+        return acc + res.result.error
+
+    ms = marginal_ms(body)
+    return {"config": "6-lio-15dof-step", "ms_per_scan": round(ms, 3)}
 
 
 if __name__ == "__main__":

@@ -54,17 +54,23 @@ class PCProcessor:
         c = cloud
         if p.preprocess.box_filter.enable:
             c = box_filter(c, p.preprocess.box_filter.min, p.preprocess.box_filter.max)
+        cap = min(self.params.scan_capacity, c.capacity)
         if p.downsampling.polar.enable:
+            # The last grid stage emits bins densely from slot 0, so it can
+            # write straight into the scan capacity — no compaction pass.
+            polar_cap = cap if not p.downsampling.voxel.enable else None
             c = polar_downsample(
                 c,
                 p.downsampling.polar.distance_size,
                 p.downsampling.polar.elevation_size,
                 p.downsampling.polar.azimuth_size,
                 CoordinateSystem.from_string(p.downsampling.polar.coord_system),
+                out_capacity=polar_cap,
             )
         if p.downsampling.voxel.enable:
-            c = voxel_downsample(c, p.downsampling.voxel.size)
-        c = compact_device(c, out_capacity=min(self.params.scan_capacity, c.capacity))
+            c = voxel_downsample(c, p.downsampling.voxel.size, out_capacity=cap)
+        elif not p.downsampling.polar.enable:
+            c = compact_device(c, out_capacity=cap)
         if p.downsampling.random.enable and p.downsampling.random.num < c.capacity:
             c = random_sampling(c, p.downsampling.random.num, key)
         return c
