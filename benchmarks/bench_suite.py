@@ -297,7 +297,7 @@ def config6_lio_step(src, tgt, cap):
                 optimization_method="levenberg_marquardt",
             ),
         )
-        return acc + res.result.error
+        return acc + res.error
 
     ms = marginal_ms(body)
     return {"config": "6-lio-15dof-step", "ms_per_scan": round(ms, 3)}

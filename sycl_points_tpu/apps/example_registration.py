@@ -19,11 +19,11 @@ import numpy as np
 
 from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals
 from sycl_points_tpu.ops.filters import box_filter
-from sycl_points_tpu.ops.knn import BruteForceKNN, brute_force_knn
+from sycl_points_tpu.ops.knn import BruteForceKNN, approx_knn
 from sycl_points_tpu.ops.robust import RobustLossType
 from sycl_points_tpu.ops.voxel import voxel_downsample
 from sycl_points_tpu.points import io
-from sycl_points_tpu.points.point_cloud import PointCloud, compact_device, pad_capacity_for
+from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 from sycl_points_tpu.registration.factors import RegType
 from sycl_points_tpu.registration.pipeline import (
     RandomSamplingParams,
@@ -62,11 +62,9 @@ def main(argv=None):
     cap = pad_capacity_for(n_vox)
 
     downsample = jax.jit(
-        lambda c: compact_device(
-            voxel_downsample(box_filter(c, 0.5, 50.0), args.voxel), out_capacity=cap
-        )
+        lambda c: voxel_downsample(box_filter(c, 0.5, 50.0), args.voxel, out_capacity=cap)
     )
-    knn_fn = jax.jit(lambda c: brute_force_knn(c.points, c.mask, c.points, args.k))
+    knn_fn = jax.jit(lambda c: approx_knn(c.points, c.mask, c.points, args.k))
     cov_fn = jax.jit(lambda c, knn: estimate_covariances(c.points, knn))
     nrm_fn = jax.jit(lambda c, covs: extract_normals(c.points, covs))
 
