@@ -510,7 +510,15 @@ def align(
                 idx = jnp.argmax(take)  # first taken candidate (reference order)
 
                 accepted = any_take & accept[idx]
-                conv = jnp.where(any_take, _is_converged(params, deltas[idx]), False)
+                # Exhausted sweep (no accept, no plateau): the reference's
+                # inner loop still records converged from the LAST trial's
+                # delta (registration.hpp:841-847 runs every inner iteration),
+                # so a max-lambda micro-step terminates the outer loop.
+                conv = jnp.where(
+                    any_take,
+                    _is_converged(params, deltas[idx]),
+                    _is_converged(params, deltas[-1]),
+                )
                 T_new = jnp.where(any_take, T_cands[idx], s.T)
                 err_new = jnp.where(any_take, errs[idx], cur_err)
                 inl_new = jnp.where(any_take, inls[idx], inlier)
