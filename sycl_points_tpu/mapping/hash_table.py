@@ -61,6 +61,25 @@ def resolve_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int)
     return coords_tbl, used, slot_out, valid & ~unresolved
 
 
+def compact_indices(keep: jax.Array, out_capacity: int):
+    """Slot indices of the first ``out_capacity`` True entries of ``keep``,
+    in slot order, via cumsum + scatter — O(C) in table capacity, replacing
+    the O(C log C) full-table argsort for map extraction.
+
+    Returns ``(idx [out_capacity] int32, mask [out_capacity] bool)``;
+    entries beyond the number of kept slots point at slot 0 and are masked.
+    """
+    C = keep.shape[0]
+    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep & (dest < out_capacity), dest, out_capacity)
+    idx = jnp.zeros((out_capacity,), jnp.int32).at[dest].set(
+        jnp.arange(C, dtype=jnp.int32), mode="drop"
+    )
+    n = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), out_capacity)
+    mask = jnp.arange(out_capacity, dtype=jnp.int32) < n
+    return idx, mask
+
+
 def lookup_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int):
     """Read-only lookup.  Returns (slot [M] int32 (-1 missing), found [M])."""
     M = keys.shape[0]

@@ -27,7 +27,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from sycl_points_tpu.mapping.hash_table import lookup_slots, resolve_slots
+from sycl_points_tpu.mapping.hash_table import compact_indices, lookup_slots, resolve_slots
 from sycl_points_tpu.mapping.voxel_hash_map import _tri_pack, _tri_unpack
 from sycl_points_tpu.ops.voxel import _SENTINEL, COORD_MASK, COORD_OFFSET, sort_by_cell, voxel_coords
 from sycl_points_tpu.points.point_cloud import PointCloud
@@ -51,7 +51,18 @@ class OccupancyGridConfig:
     stale_frame_threshold: int = 100
     free_space_updates_enabled: bool = True
     voxel_pruning_enabled: bool = True
-    max_ray_steps: int = 128  # static DDA bound (voxels crossed per ray)
+    # Static DDA bound (voxels crossed per ray).  0 = derive from geometry:
+    # a ray of length L crosses at most ceil(sqrt(3) * L / voxel_size) + 3
+    # voxel boundaries, with L = max_ray_distance.  Rays still unfinished at
+    # the bound are counted in ``state.truncated_rays``.
+    max_ray_steps: int = 0
+    max_ray_distance: float = 50.0
+
+    @property
+    def ray_step_budget(self) -> int:
+        if self.max_ray_steps > 0:
+            return self.max_ray_steps
+        return int(math.ceil(math.sqrt(3.0) * self.max_ray_distance / self.voxel_size)) + 3
 
 
 @jax.tree_util.register_dataclass
@@ -67,6 +78,8 @@ class OccupancyGridState:
     sum_intensity: jax.Array  # [C]
     last_update: jax.Array  # [C] int32
     frame: jax.Array  # scalar int32
+    dropped: jax.Array  # scalar int32: contributions lost to probe exhaustion
+    truncated_rays: jax.Array  # scalar int32: rays cut short by the DDA bound
 
 
 def create(config: OccupancyGridConfig) -> OccupancyGridState:
@@ -82,6 +95,8 @@ def create(config: OccupancyGridConfig) -> OccupancyGridState:
         sum_intensity=jnp.zeros((C,), jnp.float32),
         last_update=jnp.zeros((C,), jnp.int32),
         frame=jnp.int32(0),
+        dropped=jnp.int32(0),
+        truncated_rays=jnp.int32(0),
     )
 
 
@@ -118,21 +133,28 @@ def _dda_ray_coords(origin: jax.Array, targets: jax.Array, valid: jax.Array,
         axis = jnp.argmin(t_max, axis=-1)  # [N]
         onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
         pos_new = pos + onehot * step
-        t_max_new = t_max + onehot.astype(t_max.dtype) * t_delta
+        # where-update, NOT `t_max + onehot * t_delta`: unused axes carry
+        # t_delta = inf and 0 * inf = NaN would poison argmin on the next
+        # step for any axis-aligned ray (zero direction component).
+        t_max_new = jnp.where(onehot > 0, t_max + t_delta, t_max)
         reached = jnp.all(pos_new == it, axis=-1)
         emit = active & ~reached
         carry = (pos_new, t_max_new, active & ~reached)
         return carry, (pos_new, emit)
 
     init = (jnp.broadcast_to(i0, it.shape), t_max0, active0)
-    _, (coords_seq, emit_seq) = jax.lax.scan(body, init, None, length=max_steps)
+    (_, _, still_active), (coords_seq, emit_seq) = jax.lax.scan(
+        body, init, None, length=max_steps
+    )
     coords_seq = jnp.swapaxes(coords_seq, 0, 1)  # [N, S, 3]
     emit_seq = jnp.swapaxes(emit_seq, 0, 1)  # [N, S]
     c = coords_seq + COORD_OFFSET
     in_range = jnp.all((c >= 0) & (c <= COORD_MASK), axis=-1)
     emit_seq = emit_seq & in_range
     c = jnp.where(emit_seq[..., None], c, _SENTINEL)
-    return c, emit_seq, i0 + COORD_OFFSET, it + COORD_OFFSET
+    # ``still_active`` marks rays that never reached their target voxel
+    # within max_steps — carving stopped mid-ray (counted by the caller).
+    return c, emit_seq, i0 + COORD_OFFSET, it + COORD_OFFSET, still_active
 
 
 def _segment_merge(coords, w, payloads, capacity):
@@ -199,11 +221,15 @@ def add_point_cloud(
     sum_intensity = state.sum_intensity.at[tgt].add(agg_int, mode="drop")
     last_update = state.last_update.at[tgt].set(state.frame, mode="drop")
 
+    n_dropped = jnp.sum((seg_valid & ~resolved).astype(jnp.int32))
+    n_truncated = jnp.int32(0)
+
     # ---- free space (misses) ---------------------------------------------
     if config.free_space_updates_enabled and config.log_odds_miss != 0.0:
-        ray_coords, ray_emit, origin_coord, target_coords = _dda_ray_coords(
-            origin, pts_map, ok, config.voxel_size, config.max_ray_steps
+        ray_coords, ray_emit, origin_coord, target_coords, still_active = _dda_ray_coords(
+            origin, pts_map, ok, config.voxel_size, config.ray_step_budget
         )
+        n_truncated = jnp.sum(still_active.astype(jnp.int32))
         # Per-ray origin miss unless the origin voxel received a hit this
         # frame (occupancy_grid_map.hpp:1427-1434).
         origin_hit = jnp.any(ok & jnp.all(coords == origin_coord[None, :], axis=-1))
@@ -224,6 +250,7 @@ def add_point_cloud(
         m_tgt = jnp.where(m_resolved, m_slot, config.capacity)
         pending = pending.at[m_tgt].add(m_cnt * config.log_odds_miss, mode="drop")
         last_update = last_update.at[m_tgt].set(state.frame, mode="drop")
+        n_dropped = n_dropped + jnp.sum((m_valid & ~m_resolved).astype(jnp.int32))
 
     # ---- apply pending with clamp ----------------------------------------
     log_odds = jnp.where(
@@ -236,6 +263,8 @@ def add_point_cloud(
         coords=coords_tbl, used=used, log_odds=log_odds, sum_pos=sum_pos,
         hit_count=hit_count, sum_logcov=sum_logcov, sum_rgba=sum_rgba,
         sum_intensity=sum_intensity, last_update=last_update, frame=state.frame + 1,
+        dropped=state.dropped + n_dropped,
+        truncated_rays=state.truncated_rays + n_truncated,
     )
     if config.voxel_pruning_enabled:
         new_state = prune_stale_voxels(new_state, config)
@@ -265,6 +294,63 @@ def prune_stale_voxels(state: OccupancyGridState, config: OccupancyGridConfig) -
 
 def voxel_count(state: OccupancyGridState) -> jax.Array:
     return jnp.sum(state.used.astype(jnp.int32))
+
+
+def load_factor(state: OccupancyGridState, config: OccupancyGridConfig) -> jax.Array:
+    return jnp.sum(state.used.astype(jnp.float32)) / config.capacity
+
+
+def grow(
+    state: OccupancyGridState, config: OccupancyGridConfig, factor: int = 2
+) -> tuple[OccupancyGridState, OccupancyGridConfig]:
+    """Re-insert every used slot into a ``factor``-times-larger table (the
+    static-shape analog of the reference rehash, voxel_hash_map.hpp:847-934;
+    the occupancy grid shares that hash infrastructure)."""
+    new_config = dataclasses.replace(config, capacity=config.capacity * factor)
+    new = create(new_config)
+    coords_tbl, used, slot, resolved = resolve_slots(
+        new.coords, new.used, state.coords, state.used,
+        new_config.capacity, new_config.max_probes,
+    )
+    tgt = jnp.where(resolved, slot, new_config.capacity)
+    moved = OccupancyGridState(
+        coords=coords_tbl,
+        used=used,
+        log_odds=new.log_odds.at[tgt].set(state.log_odds, mode="drop"),
+        sum_pos=new.sum_pos.at[tgt].set(state.sum_pos, mode="drop"),
+        hit_count=new.hit_count.at[tgt].set(state.hit_count, mode="drop"),
+        sum_logcov=new.sum_logcov.at[tgt].set(state.sum_logcov, mode="drop"),
+        sum_rgba=new.sum_rgba.at[tgt].set(state.sum_rgba, mode="drop"),
+        sum_intensity=new.sum_intensity.at[tgt].set(state.sum_intensity, mode="drop"),
+        last_update=new.last_update.at[tgt].set(state.last_update, mode="drop"),
+        frame=state.frame,
+        dropped=state.dropped + jnp.sum((state.used & ~resolved).astype(jnp.int32)),
+        truncated_rays=state.truncated_rays,
+    )
+    return moved, new_config
+
+
+def add_point_cloud_auto(
+    state: OccupancyGridState,
+    config: OccupancyGridConfig,
+    cloud: PointCloud,
+    sensor_pose,
+    max_load: float = 0.7,
+    max_grow_steps: int = 8,
+) -> tuple[OccupancyGridState, OccupancyGridConfig]:
+    """Host-side insertion with growth: grow while load exceeds ``max_load``,
+    insert, and retry the same insert on a grown table if any contribution
+    was dropped (pre-insert state is kept — retried inserts lose nothing)."""
+    for _ in range(max_grow_steps):
+        if float(load_factor(state, config)) <= max_load:
+            break
+        state, config = grow(state, config)
+    for _ in range(max_grow_steps):
+        new_state = add_point_cloud(state, config, cloud, sensor_pose)
+        if int(new_state.dropped) == int(state.dropped):
+            return new_state, config
+        state, config = grow(state, config)
+    return add_point_cloud(state, config, cloud, sensor_pose), config
 
 
 def voxel_probability(state: OccupancyGridState, config: OccupancyGridConfig,
@@ -304,9 +390,9 @@ def extract_occupied_points(
     inside = jnp.all(jnp.abs(centroid - sensor_position) <= max_distance, axis=-1)
     keep = _occupied_mask(state, config) & inside
 
-    order = jnp.argsort(~keep, stable=True)[:out_capacity]
-    n_valid = jnp.sum(keep.astype(jnp.int32))
-    mask = jnp.arange(out_capacity) < n_valid
+    # O(C) cumsum compaction over used slots (not O(C log C) argsort), so
+    # extraction cost scales with contents, not grown table capacity.
+    order, mask = compact_indices(keep, out_capacity)
     covs = None
     if with_covs:
         covs = eigh3.spd_exp(_tri_unpack(state.sum_logcov[order] / cnt_safe[order, None]))
@@ -358,15 +444,13 @@ def extract_visible_points(
     candidate = occupied & in_range & in_fov
 
     # Select up to out_capacity candidates, then occlusion-test each.
-    order = jnp.argsort(~candidate, stable=True)[:out_capacity]
-    n_valid = jnp.sum(candidate.astype(jnp.int32))
-    sel_mask = jnp.arange(out_capacity) < n_valid
+    order, sel_mask = compact_indices(candidate, out_capacity)
     sel_centroid = centroid[order]
 
-    ray_coords, ray_emit, _, _ = _dda_ray_coords(
-        sensor_pos, sel_centroid, sel_mask, config.voxel_size, config.max_ray_steps
+    ray_coords, ray_emit, _, _, _ = _dda_ray_coords(
+        sensor_pos, sel_centroid, sel_mask, config.voxel_size, config.ray_step_budget
     )
-    S = config.max_ray_steps
+    S = config.ray_step_budget
     flat_coords = ray_coords.reshape(-1, 3)
     flat_valid = ray_emit.reshape(-1)
     slot, found = lookup_slots(

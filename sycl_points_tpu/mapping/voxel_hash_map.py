@@ -18,8 +18,16 @@ Voxel payload matches the reference accumulators (voxel_hash_map.hpp:255-288):
 position sum + count, **log-Euclidean covariance sums** (covariances rotated
 into the map frame, matrix-log'ed before summing, matrix-exp'ed on
 extraction), RGBA sums, intensity sum, last-update stamp for staleness
-pruning (voxel_hash_map.hpp:794-845).  Rehashing is replaced by a generous
-static capacity (fixed shapes; ~44 B/slot core payload).
+pruning (voxel_hash_map.hpp:794-845).
+
+Growth: the reference rehashes to the next prime capacity at 0.7 load
+(voxel_hash_map.hpp:847-934).  XLA needs static shapes, so capacity is fixed
+*per compiled program*; :func:`grow` re-inserts the table into a 2x table
+(recompile per capacity tier, host-triggered), and
+:func:`add_point_cloud_auto` wraps insertion with the reference's growth
+policy — grow when load exceeds ``max_load`` or when any contribution is
+dropped on probe exhaustion (drops are counted in ``state.dropped``; the
+failed insert is retried on the grown table so nothing is lost).
 """
 
 from __future__ import annotations
@@ -30,7 +38,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from sycl_points_tpu.mapping.hash_table import lookup_slots, resolve_slots
+from sycl_points_tpu.mapping.hash_table import compact_indices, lookup_slots, resolve_slots
 from sycl_points_tpu.ops.voxel import _SENTINEL, sort_by_cell, voxel_coords
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import eigh3
@@ -58,6 +66,7 @@ class VoxelHashMapState:
     sum_intensity: jax.Array  # [C]
     last_update: jax.Array  # [C] int32 frame stamp
     frame: jax.Array  # scalar int32
+    dropped: jax.Array  # scalar int32: contributions lost to probe exhaustion
 
 
 _TRI = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
@@ -91,6 +100,7 @@ def create(config: VoxelHashMapConfig) -> VoxelHashMapState:
         sum_intensity=jnp.zeros((C,), jnp.float32),
         last_update=jnp.zeros((C,), jnp.int32),
         frame=jnp.int32(0),
+        dropped=jnp.int32(0),
     )
 
 
@@ -149,7 +159,67 @@ def add_point_cloud(
         sum_intensity=state.sum_intensity.at[tgt].add(agg_int, mode="drop"),
         last_update=state.last_update.at[tgt].set(state.frame, mode="drop"),
         frame=state.frame + 1,
+        dropped=state.dropped + jnp.sum((seg_valid & ~resolved).astype(jnp.int32)),
     )
+
+
+def load_factor(state: VoxelHashMapState, config: VoxelHashMapConfig) -> jax.Array:
+    """Occupied fraction of the table (the reference rehashes above 0.7,
+    voxel_hash_map.hpp:121-124)."""
+    return jnp.sum(state.used.astype(jnp.float32)) / config.capacity
+
+
+def grow(
+    state: VoxelHashMapState, config: VoxelHashMapConfig, factor: int = 2
+) -> tuple[VoxelHashMapState, VoxelHashMapConfig]:
+    """Re-insert every used slot into a ``factor``-times-larger table — the
+    static-shape analog of the reference rehash kernel
+    (voxel_hash_map.hpp:847-934).  Jittable per (old, new) capacity pair;
+    triggered from the host (add_point_cloud_auto / Submap)."""
+    new_config = dataclasses.replace(config, capacity=config.capacity * factor)
+    new = create(new_config)
+    coords_tbl, used, slot, resolved = resolve_slots(
+        new.coords, new.used, state.coords, state.used,
+        new_config.capacity, new_config.max_probes,
+    )
+    tgt = jnp.where(resolved, slot, new_config.capacity)
+    moved = VoxelHashMapState(
+        coords=coords_tbl,
+        used=used,
+        sum_pos=new.sum_pos.at[tgt].set(state.sum_pos, mode="drop"),
+        count=new.count.at[tgt].set(state.count, mode="drop"),
+        sum_logcov=new.sum_logcov.at[tgt].set(state.sum_logcov, mode="drop"),
+        sum_rgba=new.sum_rgba.at[tgt].set(state.sum_rgba, mode="drop"),
+        sum_intensity=new.sum_intensity.at[tgt].set(state.sum_intensity, mode="drop"),
+        last_update=new.last_update.at[tgt].set(state.last_update, mode="drop"),
+        frame=state.frame,
+        dropped=state.dropped + jnp.sum((state.used & ~resolved).astype(jnp.int32)),
+    )
+    return moved, new_config
+
+
+def add_point_cloud_auto(
+    state: VoxelHashMapState,
+    config: VoxelHashMapConfig,
+    cloud: PointCloud,
+    sensor_pose,
+    max_load: float = 0.7,
+    max_grow_steps: int = 8,
+) -> tuple[VoxelHashMapState, VoxelHashMapConfig]:
+    """Host-side insertion with the reference growth policy: grow while the
+    load factor exceeds ``max_load``, insert, and if any contribution was
+    dropped on probe exhaustion retry the SAME insert on a grown table (the
+    pre-insert state is kept, so retried inserts lose nothing)."""
+    for _ in range(max_grow_steps):
+        if float(load_factor(state, config)) <= max_load:
+            break
+        state, config = grow(state, config)
+    for _ in range(max_grow_steps):
+        new_state = add_point_cloud(state, config, cloud, sensor_pose)
+        if int(new_state.dropped) == int(state.dropped):
+            return new_state, config
+        state, config = grow(state, config)
+    return add_point_cloud(state, config, cloud, sensor_pose), config
 
 
 def remove_old_data(state: VoxelHashMapState, config: VoxelHashMapConfig) -> VoxelHashMapState:
@@ -197,9 +267,9 @@ def extract(
     inside = jnp.all((centroid >= lo) & (centroid <= hi), axis=-1)
     keep = state.used & (state.count >= config.min_num_point) & inside
 
-    order = jnp.argsort(~keep, stable=True)[:out_capacity]
-    n_valid = jnp.sum(keep.astype(jnp.int32))
-    mask = jnp.arange(out_capacity) < n_valid
+    # O(C) cumsum compaction over used slots (not O(C log C) argsort), so
+    # extraction cost scales with contents, not grown table capacity.
+    order, mask = compact_indices(keep, out_capacity)
 
     pts = centroid[order]
     covs = None

@@ -77,8 +77,17 @@ def load_checkpoint(path: str, odometry) -> None:
     ms = odometry.submap.map_state
     kwargs = {}
     for name in ms.__dataclass_fields__:
-        kwargs[name] = jnp.asarray(z[f"map_{name}"])
-    odometry.submap.map_state = dataclasses.replace(ms, **kwargs)
+        if f"map_{name}" in z:  # tolerate checkpoints predating new counters
+            kwargs[name] = jnp.asarray(z[f"map_{name}"])
+    sm = odometry.submap
+    loaded_cap = int(kwargs["coords"].shape[0])
+    if loaded_cap != sm.map_capacity:  # map had grown when saved
+        if sm.is_occupancy:
+            sm.og_config = dataclasses.replace(sm.og_config, capacity=loaded_cap)
+        else:
+            sm.vhm_config = dataclasses.replace(sm.vhm_config, capacity=loaded_cap)
+        sm._rebuild_insert_extract()
+    sm.map_state = dataclasses.replace(ms, **kwargs)
 
     if "linear_velocity" in z:
         odometry.linear_velocity = z["linear_velocity"]
@@ -112,7 +121,12 @@ def load_checkpoint(path: str, odometry) -> None:
                 sm.params.submap.max_distance_range,
                 out_capacity=sm.params.submap.extract_capacity, with_covs=False,
             )
-        from sycl_points_tpu.ops.knn import BruteForceKNN
+        from sycl_points_tpu.ops.knn import build_target_knn
 
         sm.submap_cloud = sm._finalize_target(extracted)
-        sm.submap_knn = BruteForceKNN.build(sm.submap_cloud)
+        sm.submap_knn = build_target_knn(
+            sm.submap_cloud,
+            max_correspondence_distance=(
+                sm.params.registration.factor.max_correspondence_distance
+            ),
+        )

@@ -21,7 +21,12 @@ import numpy as np
 from sycl_points_tpu.mapping import occupancy_grid as og
 from sycl_points_tpu.mapping import voxel_hash_map as vhm
 from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals
-from sycl_points_tpu.ops.knn import BruteForceKNN, approx_knn, brute_force_knn
+from sycl_points_tpu.ops.knn import (
+    BruteForceKNN,
+    approx_knn,
+    brute_force_knn,
+    build_target_knn,
+)
 from sycl_points_tpu.ops.sampling import mixed_sampling, random_sampling
 from sycl_points_tpu.ops.transform import transform_cloud
 from sycl_points_tpu.points.point_cloud import PointCloud, compact_device
@@ -76,27 +81,7 @@ class Submap:
         # Cached jitted per-keyframe kernels (eager composites are slow on
         # some runtimes and would re-dispatch dozens of ops per keyframe).
         sp_ = params.submap
-        if self.is_occupancy:
-            self._insert_extract = jax.jit(
-                lambda st, cl, pose: (
-                    (ns := og.add_point_cloud(st, self.og_config, cl, pose)),
-                    og.extract_occupied_points(
-                        ns, self.og_config, pose[:3, 3],
-                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
-                    ),
-                )
-            )
-        else:
-            self._insert_extract = jax.jit(
-                lambda st, cl, pose: (
-                    (ns := vhm.add_point_cloud(st, self.vhm_config, cl, pose)),
-                    vhm.extract(
-                        ns, self.vhm_config, pose[:3, 3],
-                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
-                        with_covs=False,
-                    ),
-                )
-            )
+        self._rebuild_insert_extract()
         self._sample_uniform = jax.jit(
             lambda cl, key: random_sampling(cl, sp_.point_random_sampling_num, key)
         )
@@ -121,6 +106,52 @@ class Submap:
             return cloud.replace(covs=covs, normals=normals)
 
         self._finalize_jit = jax.jit(_finalize)
+
+    # ------------------------------------------------------------------
+    def _rebuild_insert_extract(self):
+        """(Re)build the jitted insert+extract closure for the CURRENT map
+        config — called at init and after every capacity growth.  The fused
+        call also returns the post-insert load factor so the host growth
+        policy needs no extra device round trip."""
+        sp_ = self.params.submap
+        if self.is_occupancy:
+            cfg = self.og_config
+            self._insert_extract = jax.jit(
+                lambda st, cl, pose: (
+                    (ns := og.add_point_cloud(st, cfg, cl, pose)),
+                    og.extract_occupied_points(
+                        ns, cfg, pose[:3, 3],
+                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                    ),
+                    og.load_factor(ns, cfg),
+                )
+            )
+        else:
+            cfg = self.vhm_config
+            self._insert_extract = jax.jit(
+                lambda st, cl, pose: (
+                    (ns := vhm.add_point_cloud(st, cfg, cl, pose)),
+                    vhm.extract(
+                        ns, cfg, pose[:3, 3],
+                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                        with_covs=False,
+                    ),
+                    vhm.load_factor(ns, cfg),
+                )
+            )
+
+    def _grow_map(self):
+        """Double the map capacity in place (reference rehash policy,
+        voxel_hash_map.hpp:847-934) and re-jit the per-keyframe kernels."""
+        if self.is_occupancy:
+            self.map_state, self.og_config = og.grow(self.map_state, self.og_config)
+        else:
+            self.map_state, self.vhm_config = vhm.grow(self.map_state, self.vhm_config)
+        self._rebuild_insert_extract()
+
+    @property
+    def map_capacity(self) -> int:
+        return (self.og_config if self.is_occupancy else self.vhm_config).capacity
 
     # ------------------------------------------------------------------
     def add_first_frame(self, cloud: PointCloud, timestamp: float, current_pose: np.ndarray):
@@ -182,7 +213,21 @@ class Submap:
         self.last_keyframe_cloud = sampled
         pose_j = jnp.asarray(pose, dtype=jnp.float32)
 
-        self.map_state, extracted = self._insert_extract(self.map_state, sampled, pose_j)
+        # Insert with the reference growth policy: retry the SAME insert on a
+        # doubled table if any contribution was dropped on probe exhaustion
+        # (pre-insert state is kept, so nothing is lost), then grow
+        # proactively when post-insert load exceeds 0.7
+        # (voxel_hash_map.hpp:121-124, 847-934).
+        for _ in range(8):
+            new_state, extracted, load = self._insert_extract(
+                self.map_state, sampled, pose_j
+            )
+            if int(new_state.dropped) == int(self.map_state.dropped):
+                break
+            self._grow_map()
+        self.map_state = new_state
+        if float(load) > 0.7:
+            self._grow_map()
 
         if is_first_frame:
             target = self._first_target(cloud, pose_j)
@@ -192,7 +237,15 @@ class Submap:
             target = self.submap_cloud  # keep the previous submap
 
         self.submap_cloud = self._finalize_target(target)
-        self.submap_knn = BruteForceKNN.build(self.submap_cloud)
+        # Auto-select brute-force vs grid buckets by target size; grid cell
+        # size = the ICP correspondence gate, so results are exact for
+        # registration (see ops.knn.build_target_knn).
+        self.submap_knn = build_target_knn(
+            self.submap_cloud,
+            max_correspondence_distance=(
+                self.params.registration.factor.max_correspondence_distance
+            ),
+        )
 
     def _finalize_target(self, cloud: PointCloud) -> PointCloud:
         if not (self._need_covs or self._need_normals):
