@@ -18,6 +18,13 @@ the 27-cell neighborhood, so results are EXACT for neighbors closer than
 ``cell_size`` (choose cell_size >= max_correspondence_distance for exact ICP
 correspondences).  Farther neighbors may be missed (distance inf) — the same
 bounded-search trade the reference octree makes with its traversal caps.
+
+MEASURED VERDICT (TPU v5e, scripts/GRID_CROSSOVER.json): this structure is
+10-40x SLOWER than the brute-force MXU/VPU scan at every size from 16k to
+524k targets — TPU gathers lose to streaming compute — so the pipeline's
+auto-selection (ops.knn.build_target_knn) never picks it; it remains an
+explicit opt-in for memory-constrained cases (its candidate set is O(Q*27P)
+instead of O(Q*M)).
 """
 
 from __future__ import annotations
@@ -48,6 +55,10 @@ class GridKNN:
     cell_start: jax.Array  # [C] int32 start into the sorted arrays
     cell_count: jax.Array  # [C] int32
     cell_size: jax.Array  # scalar f32
+    # telemetry: points beyond the per-cell candidate budget (invisible to
+    # searches) and cells lost to hash-probe exhaustion — never silent.
+    overflow: jax.Array  # scalar int32
+    cells_dropped: jax.Array  # scalar int32
     max_probes: int = dataclasses.field(metadata=dict(static=True), default=16)
     max_per_cell: int = dataclasses.field(metadata=dict(static=True), default=32)
 
@@ -90,9 +101,40 @@ class GridKNN:
             cell_start=cell_start,
             cell_count=cell_count,
             cell_size=jnp.float32(cell_size),
+            overflow=jnp.sum(jnp.maximum(seg_count - max_per_cell, 0)),
+            cells_dropped=jnp.sum((seg_valid & ~resolved).astype(jnp.int32)),
             max_probes=max_probes,
             max_per_cell=max_per_cell,
         )
+
+    @staticmethod
+    def build_auto(
+        cloud: PointCloud,
+        cell_size: float,
+        max_per_cell: int = 32,
+        max_per_cell_cap: int = 256,
+    ) -> "GridKNN":
+        """Host-side build that REBUILDS (static recompile) with a doubled
+        per-cell budget or table capacity until the telemetry counters are
+        zero, so no candidate is silently invisible to searches."""
+        cap = None
+        for _ in range(8):
+            g = _build_jit(
+                cloud,
+                cell_size=cell_size,
+                table_capacity=cap,
+                max_probes=16,
+                max_per_cell=max_per_cell,
+            )
+            dropped = int(g.cells_dropped)
+            overflow = int(g.overflow)
+            if dropped == 0 and (overflow == 0 or max_per_cell >= max_per_cell_cap):
+                return g
+            if dropped > 0:
+                cap = 2 * (cap or g.cell_coords.shape[0])
+            if overflow > 0 and max_per_cell < max_per_cell_cap:
+                max_per_cell = min(2 * max_per_cell, max_per_cell_cap)
+        return g
 
     def search(
         self,
@@ -158,3 +200,9 @@ class GridKNN:
         in-place ``remove_nodes_by_flags`` (knn/kdtree.hpp:721-765,
         knn/octree.hpp:276-380).  ``keep`` is in ORIGINAL point order."""
         return dataclasses.replace(self, mask=self.mask & keep[self.orig_idx])
+
+
+_build_jit = jax.jit(
+    GridKNN.build,
+    static_argnames=("cell_size", "table_capacity", "max_probes", "max_per_cell"),
+)

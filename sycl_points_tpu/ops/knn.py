@@ -260,3 +260,42 @@ class BruteForceKNN:
             jnp.where(within, res.indices, -1),
             jnp.where(within, res.distances, _BIG),
         )
+
+
+# Target-count crossover for correspondence (k=1) search, MEASURED on the
+# TPU v5e chip with 8192 queries (scripts/measure_grid_crossover.py ->
+# scripts/GRID_CROSSOVER.json): brute-force nn1 is 3.8 ms at M=16k scaling
+# linearly to 59.6 ms at M=524k, while the grid's 27-cell gather chain costs
+# 154 ms at 16k and GROWS to 745 ms at 524k (denser maps force a larger
+# per-cell candidate budget).  There is NO crossover within the library's
+# operating envelope — TPU gathers lose to MXU/VPU streaming everywhere —
+# so auto-selection always picks brute force; GridKNN stays available as an
+# explicit opt-in (pass a finite ``threshold``).
+GRID_KNN_TARGET_THRESHOLD = 1 << 62
+
+
+def build_target_knn(
+    cloud: PointCloud,
+    *,
+    max_correspondence_distance: float,
+    threshold: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
+):
+    """Auto-select the correspondence-search structure for a target cloud,
+    the analog of the reference choosing KD-tree vs brute force
+    (knn/kdtree.hpp:424-562 vs knn/bruteforce.hpp) — except the selection is
+    driven by on-chip measurement (see GRID_KNN_TARGET_THRESHOLD above):
+    brute force wins at every measured size, so that is the default.
+
+    When a finite ``threshold`` forces the grid path for targets above it,
+    the returned :class:`~sycl_points_tpu.ops.grid_knn.GridKNN` uses
+    ``cell_size = max_correspondence_distance``: ICP discards
+    correspondences beyond that distance, so grid results are EXACT for the
+    registration (any in-gate neighbor lies within the 27-cell window).
+    """
+    thr = GRID_KNN_TARGET_THRESHOLD if threshold is None else threshold
+    if cloud.capacity > thr:
+        from sycl_points_tpu.ops.grid_knn import GridKNN
+
+        return GridKNN.build_auto(cloud, cell_size=max_correspondence_distance)
+    return BruteForceKNN.build(cloud, use_pallas)

@@ -104,3 +104,51 @@ def test_align_with_grid_knn():
     res = align(source, target, grid, RegistrationParams(max_iterations=25))
     err = np.asarray(lie.se3_log(jnp.asarray(np.linalg.inv(T_true) @ np.asarray(res.T))))
     assert np.linalg.norm(err) < 0.02
+
+
+def test_overflow_telemetry_and_build_auto():
+    """Per-cell budget overflow is COUNTED (never silent) and build_auto
+    rebuilds with a doubled budget until nothing is invisible."""
+    # 600 points crammed into one cell of size 5
+    pts = RNG.uniform(0, 4.9, size=(600, 3)).astype(np.float32)
+    cloud = PointCloud.from_numpy(pts)
+    g = GridKNN.build(cloud, cell_size=5.0, max_per_cell=32)
+    assert int(g.overflow) == 600 - 32
+    # a query can MISS its true NN with the clipped budget
+    auto = GridKNN.build_auto(cloud, cell_size=5.0, max_per_cell=32,
+                              max_per_cell_cap=1024)
+    assert int(auto.overflow) == 0
+    assert int(auto.cells_dropped) == 0
+    qry = jnp.asarray(RNG.uniform(0, 4.9, size=(64, 3)).astype(np.float32))
+    res = auto.search(qry, 1)
+    ref = brute_force_knn(cloud.points, cloud.mask, qry, 1)
+    np.testing.assert_array_equal(
+        np.asarray(res.indices[:, 0]), np.asarray(ref.indices[:, 0])
+    )
+
+
+def test_build_target_knn_auto_selection():
+    """build_target_knn picks brute force below the crossover, grid above,
+    and both produce the same registration result."""
+    from sycl_points_tpu.ops.knn import BruteForceKNN, build_target_knn
+
+    tgt = dense_cloud(4000, extent=8.0)
+    cloud = PointCloud.from_numpy(tgt)
+    small = build_target_knn(cloud, max_correspondence_distance=2.0)
+    assert isinstance(small, BruteForceKNN)
+    forced = build_target_knn(
+        cloud, max_correspondence_distance=2.0, threshold=1000
+    )
+    assert isinstance(forced, GridKNN)
+
+    src = dense_cloud(400, extent=8.0) * 0.98
+    source = PointCloud.from_numpy(src.astype(np.float32))
+    params = RegistrationParams(
+        reg_type=__import__("sycl_points_tpu.registration.factors",
+                            fromlist=["RegType"]).RegType.POINT_TO_POINT,
+        max_iterations=10,
+    )
+    res_b = align(source, cloud, small, params)
+    res_g = align(source, cloud, forced, params)
+    np.testing.assert_allclose(np.asarray(res_g.T), np.asarray(res_b.T), atol=1e-5)
+    assert int(res_g.inlier) == int(res_b.inlier)
