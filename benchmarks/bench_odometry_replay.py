@@ -1,0 +1,143 @@
+"""Multi-frame odometry replay on the chip: >=50 synthetic Velodyne frames
+through the full LiDAR odometry pipeline (preprocess -> covariances ->
+robust-GICP vs submap -> voxel-hash submapping), reporting per-stage
+ms/frame and trajectory accuracy vs the synthetic ground truth.
+
+Stage names mirror the reference per-stage timing table
+(pipeline/lidar_odometry.hpp:351-383 "1. preprocessing" ...
+"4. build submap").
+
+MEASUREMENT CONTEXT (axon runtime): the pipeline is host-orchestrated, so
+every frame pays device<->host round trips whose ~30 ms tunnel floor is an
+artifact of this development link, not of the TPU.  The report includes the
+identically-measured link floor and the per-frame device-sync count so raw
+wall-clock can be decomposed; the fused per-step device cost is measured
+separately by bench_suite config 5 (marginal, in-program).
+
+Usage: python benchmarks/bench_odometry_replay.py [--frames 60] [--json out]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from synthetic_velodyne import World, figure8_trajectory, scan_at
+
+from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
+from sycl_points_tpu.pipeline.lidar_odometry import LidarOdometry, ResultType
+from sycl_points_tpu.pipeline.params import (
+    DownsamplingParams,
+    LidarOdometryParams,
+    PolarDownsamplingParams,
+    PoseParams,
+    RandomDownsamplingParams,
+    ScanParams,
+    SubmapParams,
+    VoxelDownsamplingParams,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=8, help="frames excluded from stats")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--rings", type=int, default=64)
+    ap.add_argument("--az", type=int, default=2048)
+    args = ap.parse_args()
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+
+    world = World()
+    poses = figure8_trajectory(args.frames, speed=0.35)
+    params = LidarOdometryParams(
+        scan=ScanParams(
+            downsampling=DownsamplingParams(
+                voxel=VoxelDownsamplingParams(enable=True, size=1.0),
+                polar=PolarDownsamplingParams(enable=False),
+                random=RandomDownsamplingParams(enable=True, num=5000),
+            ),
+        ),
+        submap=SubmapParams(voxel_size=1.0),
+        pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
+    )
+    odo = LidarOdometry(params)
+    raw_cap = pad_capacity_for(args.az * args.rings)
+
+    # generate (and disk-cache) all scans before the timed replay
+    scans = []
+    for i, T in enumerate(poses):
+        pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
+                      cache_tag=f"replay_{args.az}x{args.rings}_{i}")
+        scans.append(PointCloud.from_numpy(pts, capacity=raw_cap))
+    print(f"{len(scans)} scans generated ({len(pts)} pts last)", file=sys.stderr, flush=True)
+
+    # link floor, identically measured (see bench.py)
+    trivial = jax.jit(lambda x: (x * 2.0).sum())
+    ones8 = jnp.ones(8)
+    jax.device_get(trivial(ones8))
+    floors = []
+    for _ in range(16):
+        t0 = time.perf_counter()
+        jax.device_get(trivial(ones8))
+        floors.append(time.perf_counter() - t0)
+    link_floor_ms = float(np.median(floors)) * 1e3
+
+    stage_sums = {}
+    frame_times = []
+    est_poses = []
+    n_ok = 0
+    for i, cloud in enumerate(scans):
+        t0 = time.perf_counter()
+        r = odo.process(cloud, timestamp=0.1 * i)
+        dt = time.perf_counter() - t0
+        est_poses.append(np.asarray(odo.odom).copy())
+        if r in (ResultType.success, ResultType.first_frame):
+            n_ok += 1
+        if i >= args.warmup:
+            frame_times.append(dt)
+            for k, v in odo.processing_times.items():
+                stage_sums[k] = stage_sums.get(k, 0.0) + v
+        if i in (0, 1, args.warmup):
+            print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
+
+    n = len(frame_times)
+    stages_ms = {k: round(v / n * 1e3, 2) for k, v in sorted(stage_sums.items())}
+
+    # trajectory accuracy: translation ATE (shared initial pose)
+    gt = np.stack([p[:3, 3] for p in poses])
+    est = np.stack([p[:3, 3] for p in est_poses])
+    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+
+    out = {
+        "config": "odometry-replay",
+        "frames": args.frames,
+        "frames_ok": n_ok,
+        "raw_points_per_scan": int(raw_cap),
+        "ms_per_frame_wall": round(float(np.mean(frame_times)) * 1e3, 2),
+        "ms_per_frame_median": round(float(np.median(frame_times)) * 1e3, 2),
+        "stage_ms": stages_ms,
+        "link_floor_ms": round(link_floor_ms, 2),
+        "ate_translation_m": round(ate, 3),
+        "map_capacity_final": odo.submap.map_capacity,
+        "map_voxels_final": int(np.asarray(odo.submap.map_state.used).sum()),
+        "map_dropped": int(odo.submap.map_state.dropped),
+    }
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,32 @@ def marginal_ms(make_body, reps=(1, 9), iters=4):
     return (ts[reps[1]] - ts[reps[0]]) / (reps[1] - reps[0]) * 1e3
 
 
+def marginal_ms_carry(body, init_state, reps=(1, 5), iters=3):
+    """Marginal protocol for state-carrying bodies (map insertion loops):
+    body(i, (state, acc)) -> (state, acc); the returned scalar acc forces the
+    whole chain."""
+
+    def make(n):
+        @jax.jit
+        def run(state, salt):
+            _, acc = jax.lax.fori_loop(0, n, body, (state, salt))
+            return acc
+
+        return run
+
+    ts = {}
+    for n in reps:
+        run = make(n)
+        float(run(init_state, jnp.float32(0.0)))
+        best = np.inf
+        for i in range(iters):
+            t0 = time.perf_counter()
+            float(run(init_state, jnp.float32(1e-6 * (i + 1))))
+            best = min(best, time.perf_counter() - t0)
+        ts[n] = best
+    return (ts[reps[1]] - ts[reps[0]]) / (reps[1] - reps[0]) * 1e3
+
+
 def load_pair():
     src_np = io.read_file(f"{REF_DATA}/source.ply")
     tgt_np = io.read_file(f"{REF_DATA}/target.ply")
@@ -215,9 +241,18 @@ def config4_genz_vicp(src, tgt, cap):
 
 
 def config5_odometry_step(src, tgt, cap):
-    """Config 5: submap-odometry step — preprocess + align against a 3x
-    larger map cloud + map insert reduction (the per-scan work of the
-    voxel-hashmap odometry loop; full-sequence KITTI data is not bundled)."""
+    """Config 5: full submap-odometry step, map work INSIDE the timed body:
+    preprocess scan -> extract submap from the voxel hash map -> covariances
+    on the submap -> robust-GICP align -> insert the scan at the aligned
+    pose.  The map state carries across loop iterations, exactly like the
+    odometry loop (reference mapping/voxel_hash_map.hpp:614-792 +
+    pipeline/submapping.hpp)."""
+    from sycl_points_tpu.mapping import voxel_hash_map as vhm
+
+    vcfg = vhm.VoxelHashMapConfig(voxel_size=0.5, capacity=1 << 16)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    extract_cap = 1 << 14
+
     params = RegistrationPipelineParams(
         registration=RegistrationParams(
             reg_type=RegType.GICP,
@@ -233,33 +268,219 @@ def config5_odometry_step(src, tgt, cap):
     )
     key = jax.random.key(3)
 
-    # Build a map from the target (3 jittered inserts).
+    # Seed the map with 3 jittered target inserts (untimed).
+    g0 = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap, False))(tgt))
+    state = vhm.create(vcfg)
+
+    @jax.jit
+    def seed(state, dx):
+        return vhm.add_point_cloud(
+            state, vcfg, g0.replace(points=g0.points + dx), eye
+        )
+
+    for j in range(3):
+        state = seed(state, jnp.float32(j * 0.02))
+    state = jax.block_until_ready(state)
+
+    def body(i, carry):
+        state, acc = carry
+        s = preprocess(src.replace(points=src.points + 1e-12 * acc), cap)
+        sub = vhm.extract(
+            state, vcfg, jnp.zeros(3), 100.0,
+            out_capacity=extract_cap, with_covs=False,
+        )
+        knn10 = approx_knn(sub.points, sub.mask, sub.points, 10)
+        sub = sub.replace(covs=estimate_covariances(sub.points, knn10))
+        out = align_pipeline(s, sub, BruteForceKNN.build(sub), params, key=key)
+        state = vhm.add_point_cloud(state, vcfg, s, out.result.T)
+        return state, acc + out.result.error
+
+    ms = marginal_ms_carry(body, state)
+    return {"config": "5-odometry-step", "ms_per_scan": round(ms, 3)}
+
+
+def config7_mapping_ops(src, tgt, cap):
+    """Config 7: the mapping kernels themselves on device — voxel-hash
+    insert (log-Euclidean covariance path) and extract, occupancy-grid
+    insert with DDA free-space carving, and occupied extraction
+    (reference voxel_hash_map.hpp:614-792/936-1065,
+    occupancy_grid_map.hpp:821-900/1235-1530)."""
+    from sycl_points_tpu.mapping import occupancy_grid as og
+    from sycl_points_tpu.mapping import voxel_hash_map as vhm
+
+    out = {"config": "7-mapping-ops"}
+    eye = jnp.eye(4, dtype=jnp.float32)
     g0 = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(tgt))
 
-    def body(i, acc):
-        s = preprocess(src.replace(points=src.points + 1e-12 * acc), cap)
-        out = align_pipeline(s, g0, BruteForceKNN.build(g0), params, key=key)
-        return acc + out.result.error
+    # ---- voxel hash map ---------------------------------------------------
+    vcfg = vhm.VoxelHashMapConfig(voxel_size=0.5, capacity=1 << 16)
+    state = jax.block_until_ready(
+        jax.jit(lambda c: vhm.add_point_cloud(vhm.create(vcfg), vcfg, c, eye))(g0)
+    )
 
-    ms = marginal_ms(body)
-    return {"config": "5-odometry-step", "ms_per_scan": round(ms, 3)}
+    def b_insert(i, carry):
+        st, acc = carry
+        s = g0.replace(points=g0.points + 1e-12 * acc)
+        st = vhm.add_point_cloud(st, vcfg, s, eye)
+        return st, acc + st.sum_pos[0, 0]
+
+    out["vhm_insert_ms"] = round(marginal_ms_carry(b_insert, state), 3)
+
+    def b_extract(i, acc):
+        c = vhm.extract(
+            state, vcfg, jnp.zeros(3) + 1e-12 * acc, 100.0,
+            out_capacity=1 << 14, with_covs=True,
+        )
+        return acc + c.points[0, 0]
+
+    out["vhm_extract_ms"] = round(marginal_ms(b_extract), 3)
+
+    # ---- occupancy grid (hits + DDA ray carving) ---------------------------
+    ocfg = og.OccupancyGridConfig(
+        voxel_size=0.5, capacity=1 << 16, max_ray_distance=50.0,
+        voxel_pruning_enabled=True,
+    )
+    ostate = jax.block_until_ready(
+        jax.jit(lambda c: og.add_point_cloud(og.create(ocfg), ocfg, c, eye))(g0)
+    )
+    out["og_ray_step_budget"] = ocfg.ray_step_budget
+
+    def b_og_insert(i, carry):
+        st, acc = carry
+        s = g0.replace(points=g0.points + 1e-12 * acc)
+        st = og.add_point_cloud(st, ocfg, s, eye)
+        return st, acc + st.log_odds[0]
+
+    out["og_insert_carve_ms"] = round(marginal_ms_carry(b_og_insert, ostate), 3)
+
+    def b_og_extract(i, acc):
+        c = og.extract_occupied_points(
+            ostate, ocfg, jnp.zeros(3) + 1e-12 * acc, 100.0, out_capacity=1 << 14
+        )
+        return acc + c.points[0, 0]
+
+    out["og_extract_ms"] = round(marginal_ms(b_og_extract), 3)
+    out["truncated_rays"] = int(ostate.truncated_rays)
+    return out
+
+
+def _velodyne_pair():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synthetic_velodyne import World, scan_at
+
+    w = World()
+    T0 = np.eye(4)
+    T0[:3, 3] = [0.0, 0.0, 1.8]
+    T1 = T0.copy()
+    # ~1 m forward + 2 deg yaw between scans (typical KITTI frame motion)
+    yaw = np.deg2rad(2.0)
+    T1[:3, :3] = np.array(
+        [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+    )
+    T1[:3, 3] = [1.0, 0.1, 1.8]
+    tgt_np = scan_at(w, T0, seed=0, cache_tag="pair131k_tgt")
+    src_np = scan_at(w, T1, seed=1, cache_tag="pair131k_src")
+    T_rel = np.linalg.inv(T0) @ T1  # source sensor frame -> target sensor frame
+    return src_np, tgt_np, T_rel
+
+
+def config8_kitti_scale():
+    """Config 8: KITTI-scale tier — synthetic Velodyne pair at 131k raw
+    points (reference operating envelope, example_registration.cpp:54-161):
+    preprocess ms/scan, KNN throughput at M in {32k, 131k}, and full
+    robust-GICP ms/pair at post-voxel scale (~20-25k points)."""
+    from sycl_points_tpu.ops.knn import brute_force_knn
+
+    src_np, tgt_np, T_rel = _velodyne_pair()
+    raw_cap = pad_capacity_for(max(len(src_np), len(tgt_np)))
+    src = PointCloud.from_numpy(src_np, capacity=raw_cap)
+    tgt = PointCloud.from_numpy(tgt_np, capacity=raw_cap)
+
+    def post_voxel_count(pts):
+        linf = np.max(np.abs(pts), axis=1)
+        p = pts[(linf >= 0.5) & (linf <= 50.0)]
+        return len(np.unique(np.floor(p / 0.25).astype(np.int64), axis=0))
+
+    n_post = max(post_voxel_count(src_np), post_voxel_count(tgt_np))
+    post_cap = pad_capacity_for(n_post)
+    out = {"config": "8-kitti-scale", "raw_points": int(len(src_np)),
+           "post_voxel_points": int(n_post)}
+
+    # ---- preprocess (box + voxel 0.25 + covariances/normals k=10) ----------
+    def b_pre(i, acc):
+        c = preprocess(src.replace(points=src.points + 1e-12 * acc), post_cap)
+        return acc + c.points[0, 0] + c.covs[0, 0, 0]
+
+    out["preprocess_ms_per_scan"] = round(marginal_ms(b_pre, reps=(1, 5)), 3)
+
+    # ---- KNN throughput -----------------------------------------------------
+    pre_s = jax.block_until_ready(jax.jit(lambda c: preprocess(c, post_cap))(src))
+    pre_t = jax.block_until_ready(jax.jit(lambda c: preprocess(c, post_cap))(tgt))
+    for M in (32768, 131072):
+        t_pts = tgt.points[:M]
+        t_mask = tgt.mask[:M]
+        q = src.points[:8192]
+
+        def b_nn1(i, acc):
+            r = brute_force_knn(t_pts, t_mask, q + 1e-12 * acc, 1)
+            return acc + r.distances[0, 0]
+
+        def b_k10(i, acc):
+            r = approx_knn(t_pts, t_mask, q + 1e-12 * acc, 10)
+            return acc + r.distances[0, 0]
+
+        ms1 = marginal_ms(b_nn1, reps=(1, 5))
+        ms10 = marginal_ms(b_k10, reps=(1, 5))
+        out[f"knn_k1_M{M}_Mq_per_s"] = round(8192 / ms1 / 1e3, 2)
+        out[f"knn_k10_M{M}_Mq_per_s"] = round(8192 / ms10 / 1e3, 2)
+
+    # ---- robust GICP at post-voxel scale (full clouds, no sampling) --------
+    params = RegistrationParams(
+        reg_type=RegType.GICP,
+        robust=RobustParams(type=RobustLossType.GEMAN_MCCLURE, default_scale=2.5),
+        optimization_method="levenberg_marquardt",
+        max_iterations=10,
+    )
+    schedule = ((10.0, 5.0), (5.0, 2.5), (2.5, 2.5))
+
+    def b_gicp(i, acc):
+        s = pre_s.replace(points=pre_s.points + 1e-12 * acc)
+        res = align(s, pre_t, BruteForceKNN.build(pre_t), params,
+                    robust_schedule=schedule)
+        return acc + res.error
+
+    out["gicp_ms_per_pair"] = round(marginal_ms(b_gicp, reps=(1, 5)), 3)
+
+    # accuracy cross-check vs the synthetic ground truth
+    res = jax.jit(
+        lambda s, t: align(s, t, BruteForceKNN.build(t), params,
+                           robust_schedule=schedule).T
+    )(pre_s, pre_t)
+    t_err = np.linalg.norm(np.asarray(res)[:3, 3] - T_rel[:3, 3])
+    out["translation_err_cm"] = round(float(t_err) * 100.0, 2)
+    return out
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
+    ap.add_argument("--only", default=None, help="comma-separated config numbers")
     args = ap.parse_args()
 
     log(f"device: {jax.devices()[0]}")
     src, tgt, cap = load_pair()
     results = []
-    for fn, a in (
-        (config1_point_to_point, (src, tgt, cap)),
-        (config2_preprocess_suite, (src, cap)),
-        (config4_genz_vicp, (src, tgt, cap)),
-        (config5_odometry_step, (src, tgt, cap)),
-        (config6_lio_step, (src, tgt, cap)),
+    for num, fn, a in (
+        ("1", config1_point_to_point, (src, tgt, cap)),
+        ("2", config2_preprocess_suite, (src, cap)),
+        ("4", config4_genz_vicp, (src, tgt, cap)),
+        ("5", config5_odometry_step, (src, tgt, cap)),
+        ("6", config6_lio_step, (src, tgt, cap)),
+        ("7", config7_mapping_ops, (src, tgt, cap)),
+        ("8", config8_kitti_scale, ()),
     ):
+        if args.only and num not in args.only.split(","):
+            continue
         t0 = time.perf_counter()
         r = fn(*a)
         r["compile_plus_measure_s"] = round(time.perf_counter() - t0, 1)

@@ -1,0 +1,151 @@
+"""Synthetic Velodyne-density scan generator for KITTI-scale benchmarks.
+
+The repo bundles only one small scan pair (cpp/data in the reference), so
+large-tier benchmarks and the multi-frame odometry replay raycast a fixed
+synthetic world — ground plane, boundary wall, and random boxes — with an
+HDL-64-like ray pattern (64 elevation rings x ~2000 azimuth steps = ~128k
+rays/scan; reference operating envelope per
+cpp/examples/example_registration.cpp and the rosbag eval nodes).
+
+The raycast itself is a small jitted JAX program (input preparation only —
+never part of a timed benchmark body); scans are memoized on disk under
+``benchmarks/.scan_cache/`` because this host's CPU is slow.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+class World:
+    """Ground plane at z=0, cylinder wall at ``wall_r``, K random boxes."""
+
+    def __init__(self, seed=42, n_boxes=40, extent=45.0, wall_r=50.0):
+        rng = np.random.default_rng(seed)
+        self.wall_r = wall_r
+        c = rng.uniform(-extent, extent, size=(n_boxes, 2))
+        keep = np.linalg.norm(c, axis=1) > 6.0  # clear space near the origin path
+        c = c[keep]
+        n = len(c)
+        half = rng.uniform(0.5, 3.0, size=(n, 2))
+        self.box_lo = np.concatenate([c - half, np.zeros((n, 1))], axis=1)
+        self.box_hi = np.concatenate(
+            [c + half, rng.uniform(1.0, 6.0, size=(n, 1))], axis=1
+        )
+
+    def raycast(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
+        """First-hit distance per ray (inf = sky).  Jitted JAX (fast on this
+        weak host CPU); input prep only, never inside a timed body."""
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def impl(origin, dirs, box_lo, box_hi):
+            inf = jnp.float32(np.inf)
+            dz = dirs[:, 2]
+            m = dz < -1e-6
+            tg = jnp.where(m, -origin[2] / jnp.where(m, dz, 1.0), inf)
+            t_best = jnp.where(tg > 0, tg, inf)
+
+            # cylinder x^2+y^2 = wall_r^2
+            ox, oy = origin[0], origin[1]
+            dx, dy = dirs[:, 0], dirs[:, 1]
+            a = dx * dx + dy * dy
+            b = 2 * (ox * dx + oy * dy)
+            c = ox * ox + oy * oy - self.wall_r**2
+            disc = b * b - 4 * a * c
+            ok = (disc > 0) & (a > 1e-9)
+            tw = jnp.where(
+                ok,
+                (-b + jnp.sqrt(jnp.maximum(disc, 0.0))) / jnp.maximum(2 * a, 1e-9),
+                inf,
+            )
+            t_best = jnp.minimum(t_best, jnp.where(tw > 0, tw, inf))
+
+            # boxes, slab method: [R, n_boxes]
+            inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-9, dirs, 1e-9)
+            t0 = (box_lo[None, :, :] - origin[None, None, :]) * inv[:, None, :]
+            t1 = (box_hi[None, :, :] - origin[None, None, :]) * inv[:, None, :]
+            tmin = jnp.max(jnp.minimum(t0, t1), axis=2)
+            tmax = jnp.min(jnp.maximum(t0, t1), axis=2)
+            hit = tmax >= jnp.maximum(tmin, 1e-3)
+            tb = jnp.where(hit, tmin, inf)
+            return jnp.minimum(t_best, tb.min(axis=1))
+
+        return np.asarray(
+            impl(
+                jnp.asarray(origin, jnp.float32),
+                jnp.asarray(dirs, jnp.float32),
+                jnp.asarray(self.box_lo, jnp.float32),
+                jnp.asarray(self.box_hi, jnp.float32),
+            )
+        )
+
+
+def hdl64_dirs(n_az=2048, n_rings=64, seed=0):
+    """Sensor-frame ray directions, HDL-64-like (elevation -24.8..+2 deg)."""
+    rng = np.random.default_rng(seed)
+    az = np.linspace(-np.pi, np.pi, n_az, endpoint=False)
+    el = np.deg2rad(np.linspace(-24.8, 2.0, n_rings))
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    # small per-shot azimuth jitter so scans from the same pose differ
+    azg = azg + rng.normal(scale=2e-4, size=azg.shape)
+    ce = np.cos(elg)
+    return np.stack(
+        [ce * np.cos(azg), ce * np.sin(azg), np.sin(elg)], axis=-1
+    ).reshape(-1, 3).astype(np.float32)
+
+
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scan_cache")
+
+
+def scan_at(world: World, T: np.ndarray, n_az=2048, n_rings=64,
+            max_range=80.0, noise=0.01, seed=0, cache_tag=None):
+    """Sensor-frame point cloud [N,3] float32 raycast from pose ``T`` (4x4).
+
+    N varies per scan (sky/overrange rays removed), ~90-128k points.
+    ``cache_tag`` memoizes the scan under benchmarks/.scan_cache/.
+    """
+    path = None
+    if cache_tag is not None:
+        path = os.path.join(_CACHE_DIR, f"{cache_tag}.npy")
+        if os.path.exists(path):
+            return np.load(path)
+    dirs_s = hdl64_dirs(n_az, n_rings, seed)
+    dirs_w = dirs_s @ T[:3, :3].T.astype(np.float32)
+    origin = T[:3, 3].astype(np.float64)
+    t = world.raycast(origin, dirs_w.astype(np.float64))
+    ok = np.isfinite(t) & (t > 1.0) & (t < max_range)
+    rng = np.random.default_rng(seed + 1)
+    t = t[ok] + rng.normal(scale=noise, size=ok.sum())
+    pts = (dirs_s[ok] * t[:, None].astype(np.float32)).astype(np.float32)
+    if path is not None:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        np.save(path, pts)
+    return pts
+
+
+def figure8_trajectory(n_frames: int, radius=18.0, speed=0.35):
+    """Sequence of SE(3) poses (sensor z up at 1.8 m) along a figure-8."""
+    poses = []
+    for i in range(n_frames):
+        s = i * speed / radius
+        x = radius * np.sin(s)
+        y = radius * np.sin(s) * np.cos(s)
+        # heading from the velocity direction
+        dx = np.cos(s)
+        dy = np.cos(2 * s)
+        yaw = np.arctan2(dy, dx)
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3] = np.array(
+            [
+                [np.cos(yaw), -np.sin(yaw), 0],
+                [np.sin(yaw), np.cos(yaw), 0],
+                [0, 0, 1],
+            ]
+        )
+        T[:3, 3] = [x, y, 1.8]
+        poses.append(T)
+    return poses

@@ -1,0 +1,105 @@
+"""Pin approx_knn (lax.approx_max_k) recall on REAL TPU semantics.
+
+The covariance-estimation path uses ``approx_knn`` (ops/knn.py), whose
+recall claim (~98% at k=10) only manifests on TPU — CPU lowers
+``approx_max_k`` to an exact top-k, so the pytest suite cannot catch a TPU
+recall regression.  This script measures neighbor recall against the exact
+brute-force oracle on realistic clouds (the bundled scan pair post-voxel +
+a synthetic Velodyne scan), records scripts/KNN_RECALL.json (like
+TPU_MATRIX.json), and exits nonzero below the 97% floor.
+
+Run on the chip: python scripts/verify_knn_recall.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+from sycl_points_tpu.ops.filters import box_filter
+from sycl_points_tpu.ops.knn import approx_knn, brute_force_knn
+from sycl_points_tpu.ops.voxel import voxel_downsample
+from sycl_points_tpu.points import io
+from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
+
+REF_DATA = "/root/reference/cpp/data"
+RECALL_FLOOR = 0.97
+
+
+def recall_on(cloud: PointCloud, k: int) -> float:
+    """Fraction of exact k-NN indices found by approx_knn (per query set)."""
+    approx = approx_knn(cloud.points, cloud.mask, cloud.points, k)
+    exact = brute_force_knn(cloud.points, cloud.mask, cloud.points, k)
+    ai = np.asarray(approx.indices)
+    ei = np.asarray(exact.indices)
+    mask = np.asarray(cloud.mask)
+    hits = 0
+    total = 0
+    for q in range(ai.shape[0]):
+        if not mask[q]:
+            continue
+        hits += len(np.intersect1d(ai[q], ei[q]))
+        total += k
+    return hits / max(total, 1)
+
+
+def bundled_cloud():
+    tgt_np = io.read_file(f"{REF_DATA}/target.ply")
+    raw = PointCloud.from_numpy(
+        tgt_np["points"], capacity=pad_capacity_for(len(tgt_np["points"]))
+    )
+    c = box_filter(raw, 0.5, 50.0)
+    return voxel_downsample(c, 0.25, out_capacity=8192)
+
+
+def velodyne_cloud():
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "benchmarks")
+    )
+    from synthetic_velodyne import World, scan_at
+
+    T = np.eye(4)
+    T[:3, 3] = [0, 0, 1.8]
+    pts = scan_at(World(), T, seed=0, cache_tag="recall_scan")
+    raw = PointCloud.from_numpy(pts, capacity=pad_capacity_for(len(pts)))
+    c = box_filter(raw, 0.5, 50.0)
+    return voxel_downsample(c, 0.25, out_capacity=32768)
+
+
+def main():
+    rows = []
+    ok = True
+    for name, cloud_fn in (("bundled-pair-voxel0.25", bundled_cloud),
+                           ("synthetic-velodyne-voxel0.25", velodyne_cloud)):
+        cloud = cloud_fn()
+        for k in (10, 20):
+            r = recall_on(cloud, k)
+            rows.append(
+                dict(cloud=name, n=int(np.asarray(cloud.mask).sum()), k=k,
+                     recall=round(float(r), 4))
+            )
+            print(rows[-1], flush=True)
+            ok &= r >= RECALL_FLOOR
+
+    out = dict(
+        backend=jax.default_backend(),
+        device=str(jax.devices()[0]),
+        recall_floor=RECALL_FLOOR,
+        passed=bool(ok),
+        rows=rows,
+    )
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "KNN_RECALL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path, "passed:", ok)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
