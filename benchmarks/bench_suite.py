@@ -449,7 +449,29 @@ def config8_kitti_scale():
                     robust_schedule=schedule)
         return acc + res.error
 
-    out["gicp_ms_per_pair"] = round(marginal_ms(b_gicp, reps=(1, 5)), 3)
+    out["gicp_full_cloud_ms_per_pair"] = round(marginal_ms(b_gicp, reps=(1, 5)), 3)
+
+    # production configuration: the registration pipeline's input sampling
+    # (1000 pts, reference registration_pipeline_params.hpp default) bounds
+    # the per-iteration correspondence cost regardless of scan size.
+    pparams = RegistrationPipelineParams(
+        registration=params,
+        random_sampling=RandomSamplingParams(enable=True, num=1000),
+        robust=RobustScheduleParams(
+            auto_scale=True, init_scale=10.0, min_scale=2.5,
+            rotation_init_scale=5.0, rotation_min_scale=2.5, auto_scaling_iter=3,
+        ),
+    )
+    key = jax.random.key(11)
+
+    def b_gicp_pipe(i, acc):
+        s = pre_s.replace(points=pre_s.points + 1e-12 * acc)
+        res = align_pipeline(s, pre_t, BruteForceKNN.build(pre_t), pparams, key=key)
+        return acc + res.result.error
+
+    out["gicp_pipeline_sampled_ms_per_pair"] = round(
+        marginal_ms(b_gicp_pipe, reps=(1, 5)), 3
+    )
 
     # accuracy cross-check vs the synthetic ground truth
     res = jax.jit(
