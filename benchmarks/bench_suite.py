@@ -336,8 +336,10 @@ def config7_mapping_ops(src, tgt, cap):
     out["vhm_extract_ms"] = round(marginal_ms(b_extract), 3)
 
     # ---- occupancy grid (hits + DDA ray carving) ---------------------------
+    # 0.5 m voxels over 50 m rays touch ~200k unique voxels per frame, so the
+    # table is sized for the workload (the growth policy would land here).
     ocfg = og.OccupancyGridConfig(
-        voxel_size=0.5, capacity=1 << 16, max_ray_distance=50.0,
+        voxel_size=0.5, capacity=1 << 19, max_ray_distance=50.0,
         voxel_pruning_enabled=True,
     )
     ostate = jax.block_until_ready(
@@ -361,6 +363,8 @@ def config7_mapping_ops(src, tgt, cap):
 
     out["og_extract_ms"] = round(marginal_ms(b_og_extract), 3)
     out["truncated_rays"] = int(ostate.truncated_rays)
+    out["og_dropped"] = int(ostate.dropped)
+    out["og_voxels"] = int(np.asarray(og.voxel_count(ostate)))
     return out
 
 

@@ -6,12 +6,22 @@ TPU-native replacement for the CAS insertion loop the reference uses in both
 each unresolved key writes a ticket into a claim array at its probe slot and
 re-reads to find the winner.  Requires keys to be unique within a batch
 (guaranteed by the sort/segment-reduce pre-aggregation).
+
+Probe-round layout (measured on v5e at 131k keys / 524k slots): a [M,3] row
+scatter costs 5.0 ms vs 0.41 ms per planar [M] scatter, and bool gathers
+cost 2.5x int gathers — so inside the probe loops the 3x21-bit coords are
+packed into TWO uint32 planes and ``used`` is carried as int32; the [C,3]
+public layout is restored on exit.  This cuts a probe round from ~10 ms to
+~4 ms at that width.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+_SENTINEL = 2**31 - 1
+_MASK21 = (1 << 21) - 1
 
 
 def hash_coords(coords: jax.Array, capacity: int):
@@ -25,40 +35,24 @@ def hash_coords(coords: jax.Array, capacity: int):
     return h1 & jnp.uint32(capacity - 1), h2
 
 
-def probe_slots(h1, h2, probe: int, capacity: int):
-    return ((h1 + jnp.uint32(probe) * h2) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+def probe_slots(h1, h2, probe, capacity: int):
+    probe = probe.astype(jnp.uint32) if hasattr(probe, "astype") else jnp.uint32(probe)
+    return ((h1 + probe * h2) & jnp.uint32(capacity - 1)).astype(jnp.int32)
 
 
-def resolve_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int):
-    """Find-or-claim a slot for each unique key.
+def _pack2(coords: jax.Array):
+    """3 x 21-bit coords -> two uint32 planes (x:21|y_hi:11, y_lo:10|z:21)."""
+    c = coords.astype(jnp.uint32)
+    hi = (c[..., 0] << 11) | (c[..., 1] >> 10)
+    lo = ((c[..., 1] & jnp.uint32(0x3FF)) << 21) | (c[..., 2] & jnp.uint32(_MASK21))
+    return hi, lo
 
-    Returns ``(coords_tbl', used', slot [M] int32 (-1 unresolved),
-    resolved [M] bool)``.
-    """
-    M = keys.shape[0]
-    h1, h2 = hash_coords(keys, capacity)
-    slot_out = jnp.full((M,), -1, jnp.int32)
-    unresolved = valid
-    seg_ids = jnp.arange(M, dtype=jnp.int32)
 
-    for probe in range(max_probes):
-        cand = probe_slots(h1, h2, probe, capacity)
-        occ = used[cand]
-        match = occ & jnp.all(coords_tbl[cand] == keys, axis=-1)
-        hit = unresolved & match
-        try_claim = unresolved & ~occ
-        claim = jnp.full((capacity,), -1, jnp.int32)
-        claim = claim.at[jnp.where(try_claim, cand, capacity)].set(seg_ids, mode="drop")
-        winner = try_claim & (claim[cand] == seg_ids)
-
-        resolved_now = hit | winner
-        slot_out = jnp.where(resolved_now, cand, slot_out)
-        w_idx = jnp.where(winner, cand, capacity)
-        coords_tbl = coords_tbl.at[w_idx].set(keys, mode="drop")
-        used = used.at[w_idx].set(True, mode="drop")
-        unresolved = unresolved & ~resolved_now
-
-    return coords_tbl, used, slot_out, valid & ~unresolved
+def _unpack2(hi: jax.Array, lo: jax.Array):
+    x = (hi >> 11) & jnp.uint32(_MASK21)
+    y = ((hi & jnp.uint32(0x7FF)) << 10) | (lo >> 21)
+    z = lo & jnp.uint32(_MASK21)
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
 def compact_indices(keep: jax.Array, out_capacity: int):
@@ -80,19 +74,83 @@ def compact_indices(keep: jax.Array, out_capacity: int):
     return idx, mask
 
 
-def lookup_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int):
-    """Read-only lookup.  Returns (slot [M] int32 (-1 missing), found [M])."""
+def resolve_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int):
+    """Find-or-claim a slot for each unique key.
+
+    Returns ``(coords_tbl', used', slot [M] int32 (-1 unresolved),
+    resolved [M] bool)``.
+
+    The probe loop is a ``lax.while_loop`` with an all-resolved early exit:
+    at sane load factors nearly every key lands within 1-3 probes, so only
+    ~2-4 rounds execute instead of the static ``max_probes``.
+    """
     M = keys.shape[0]
     h1, h2 = hash_coords(keys, capacity)
-    found = jnp.zeros((M,), bool)
-    slot_out = jnp.full((M,), -1, jnp.int32)
-    dead = jnp.zeros((M,), bool)  # hit an empty slot => key absent
-    for probe in range(max_probes):
+    seg_ids = jnp.arange(M, dtype=jnp.int32)
+    khi, klo = _pack2(keys)
+    thi, tlo = _pack2(coords_tbl)
+    used_i = used.astype(jnp.int32)
+
+    def cond(st):
+        probe, _, _, _, _, unresolved = st
+        return (probe < max_probes) & jnp.any(unresolved)
+
+    def body(st):
+        probe, thi, tlo, used_i, slot_out, unresolved = st
         cand = probe_slots(h1, h2, probe, capacity)
-        occ = used[cand]
-        match = occ & jnp.all(coords_tbl[cand] == keys, axis=-1)
+        occ = used_i[cand] != 0
+        match = occ & (thi[cand] == khi) & (tlo[cand] == klo)
+        hit = unresolved & match
+        try_claim = unresolved & ~occ
+        claim = jnp.full((capacity,), -1, jnp.int32)
+        claim = claim.at[jnp.where(try_claim, cand, capacity)].set(seg_ids, mode="drop")
+        winner = try_claim & (claim[cand] == seg_ids)
+
+        resolved_now = hit | winner
+        slot_out = jnp.where(resolved_now, cand, slot_out)
+        w_idx = jnp.where(winner, cand, capacity)
+        thi = thi.at[w_idx].set(khi, mode="drop")
+        tlo = tlo.at[w_idx].set(klo, mode="drop")
+        used_i = used_i.at[w_idx].set(1, mode="drop")
+        return probe + 1, thi, tlo, used_i, slot_out, unresolved & ~resolved_now
+
+    init = (jnp.int32(0), thi, tlo, used_i, jnp.full((M,), -1, jnp.int32), valid)
+    _, thi, tlo, used_i, slot_out, unresolved = jax.lax.while_loop(cond, body, init)
+
+    used_out = used_i != 0
+    coords_out = jnp.where(used_out[:, None], _unpack2(thi, tlo), _SENTINEL)
+    return coords_out, used_out, slot_out, valid & ~unresolved
+
+
+def lookup_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int):
+    """Read-only lookup.  Returns (slot [M] int32 (-1 missing), found [M]).
+
+    Early-exits once every key is either found or proven absent (hit an
+    empty slot on its probe chain)."""
+    M = keys.shape[0]
+    h1, h2 = hash_coords(keys, capacity)
+    khi, klo = _pack2(keys)
+    thi, tlo = _pack2(coords_tbl)
+    used_i = used.astype(jnp.int32)
+
+    def cond(st):
+        probe, _, found, dead = st
+        return (probe < max_probes) & jnp.any(valid & ~found & ~dead)
+
+    def body(st):
+        probe, slot_out, found, dead = st
+        cand = probe_slots(h1, h2, probe, capacity)
+        occ = used_i[cand] != 0
+        match = occ & (thi[cand] == khi) & (tlo[cand] == klo)
         new_found = valid & ~found & ~dead & match
         slot_out = jnp.where(new_found, cand, slot_out)
-        found = found | new_found
-        dead = dead | ~occ
+        return probe + 1, slot_out, found | new_found, dead | ~occ
+
+    init = (
+        jnp.int32(0),
+        jnp.full((M,), -1, jnp.int32),
+        jnp.zeros((M,), bool),
+        jnp.zeros((M,), bool),
+    )
+    _, slot_out, found, _ = jax.lax.while_loop(cond, body, init)
     return slot_out, found
