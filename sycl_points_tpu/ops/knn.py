@@ -155,6 +155,7 @@ def approx_knn(
     k: int,
     pose: Optional[jax.Array] = None,
     chunk: int = 16384,
+    recall_target: float = 0.99,
 ) -> KNNResult:
     """Approximate KNN via ``lax.approx_max_k`` (the TPU PartialReduce op).
 
@@ -179,7 +180,10 @@ def approx_knn(
     if n_chunks == 1:
         d2 = _pairwise_sqdist(query_points, target_points)
         d2 = jnp.where(target_mask[None, :], d2, _BIG)
-        neg_d, idx = jax.lax.approx_max_k(-d2, k)
+        # recall_target=0.99 (not the lax default 0.95): measured on-chip
+        # recall at k=20 on a Velodyne-density cloud was 0.966 at the
+        # default and 0.968 at 0.98 (scripts/KNN_RECALL.json).
+        neg_d, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)
         return KNNResult(idx.astype(jnp.int32), -neg_d)
 
     Mp = n_chunks * chunk
@@ -196,7 +200,7 @@ def approx_knn(
         best_d, best_i = carry
         tc, mc, base = inp
         d2 = jnp.where(mc[None, :], _pairwise_sqdist(query_points, tc), _BIG)
-        neg_d, idx = jax.lax.approx_max_k(-d2, k)
+        neg_d, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)
         cand_d = jnp.concatenate([best_d, -neg_d], axis=1)
         cand_i = jnp.concatenate([best_i, idx.astype(jnp.int32) + base], axis=1)
         neg2, sel = jax.lax.top_k(-cand_d, k)  # 2k-wide exact merge

@@ -53,6 +53,21 @@ class LidarInertialOdometry:
         self.params = params
         self.pc_processor = PCProcessor(params)
         self.submap = Submap(params)
+        # Jitted ONCE (params bound as closure constants): calling lio.align
+        # eagerly would retrace and recompile its solver loops every frame.
+        self._lio_align_jit = jax.jit(
+            lambda source, target, target_knn, pred, P_pred, P_prev, update_bias: lio.align(
+                source, target, target_knn, pred, P_pred, P_prev,
+                factor_params=params.registration.factor,
+                params=params.lio,
+                update_bias=update_bias,
+            )
+        )
+        self._icp_weights_jit = jax.jit(
+            lambda src, tgt, knn, pose: compute_icp_robust_weights(
+                src, tgt, knn, pose, params.registration.factor
+            )
+        )
 
         self.x = State(
             position=jnp.asarray(params.pose.initial_matrix()[:3, 3]),
@@ -288,12 +303,10 @@ class LidarInertialOdometry:
             self._key, sub = jax.random.split(self._key)
             source = random_sampling(source, sampling.num, sub)
 
-        result = lio.align(
+        result = self._lio_align_jit(
             source, self.submap.submap_cloud, self.submap.submap_knn,
             pred, P_pred, self.P_post,
-            factor_params=p.registration.factor,
-            params=p.lio,
-            update_bias=self._imu_bias_observable(),
+            jnp.bool_(self._imu_bias_observable()),
         )
         self.P_post = result.posterior_covariance
         self.x = result.state
@@ -308,9 +321,9 @@ class LidarInertialOdometry:
         p = self.params
         weights = None
         if int(reg_input.count()) > p.submap.point_random_sampling_num:
-            weights = compute_icp_robust_weights(
+            weights = self._icp_weights_jit(
                 reg_input, self.submap.submap_cloud, self.submap.submap_knn,
-                result.T, p.registration.factor,
+                result.T,
             )
         ratio = float(result.inlier) / max(int(reg_input.count()), 1)
         self.submap.add_frame(

@@ -59,6 +59,37 @@ class LidarOdometry:
         self.submap = Submap(params)
         self.motion_predictor = MotionPredictor(params.motion_prediction)
         self.pipeline_params = params.make_registration_pipeline_params()
+        # Jitted ONCE (params bound as a closure constant): calling
+        # align_pipeline eagerly would retrace + recompile its align
+        # while_loop every frame (~15 s/frame measured on the replay bench).
+        self._align_pipeline_jit = jax.jit(
+            lambda source, target, target_knn, **kw: align_pipeline(
+                source, target, target_knn, self.pipeline_params, **kw
+            )
+        )
+        self._icp_weights_jit = jax.jit(
+            lambda src, tgt, knn, pose, scale: compute_icp_robust_weights(
+                src, tgt, knn, pose, self.params.registration.factor, scale
+            )
+        )
+        self._deskew_jit = jax.jit(deskew_constant_velocity)
+        # One fused post-registration readback: every device->host sync costs
+        # a full link round trip (~30 ms on the axon tunnel), so the pose,
+        # inlier count and cloud counts travel in a single fetch.
+        self._frame_stats_jit = jax.jit(
+            lambda T, inlier, deskewed, reg_input: jnp.concatenate(
+                [
+                    T.ravel(),
+                    jnp.stack(
+                        [
+                            inlier.astype(jnp.float32),
+                            deskewed.count().astype(jnp.float32),
+                            reg_input.count().astype(jnp.float32),
+                        ]
+                    ),
+                ]
+            )
+        )
 
         self.odom = params.pose.initial_matrix()
         self.prev_odom = self.odom.copy()
@@ -217,20 +248,28 @@ class LidarOdometry:
 
         # submapping (hpp:599-621)
         t0 = time.perf_counter()
-        self._submapping(result, reg_input, deskewed, timestamp)
+        stats = np.asarray(
+            self._frame_stats_jit(result.T, result.inlier, deskewed, reg_input)
+        )
+        T_np = stats[:16].reshape(4, 4).astype(np.float32)
+        n_inlier, n_deskewed, n_reg_input = stats[16], stats[17], stats[18]
+        self._submapping(
+            result, T_np, int(n_deskewed), float(n_inlier) / max(int(n_reg_input), 1),
+            deskewed, timestamp,
+        )
         self.processing_times["4. build submap"] += time.perf_counter() - t0
 
         # full-resolution CV deskew for publishing (hpp:272-277)
         if self.pipeline_params.velocity_update.enable and not self._imu_deskew_enabled():
             if self.preprocessed.timestamp_offsets is not None:
-                self.preprocessed = deskew_constant_velocity(
+                self.preprocessed = self._deskew_jit(
                     self.preprocessed,
-                    jnp.asarray(self.odom), jnp.asarray(result.T), self.dt,
+                    jnp.asarray(self.odom), jnp.asarray(result.T), jnp.float32(self.dt),
                 )
 
         # velocity/odometry update (hpp:280-296)
         self.prev_odom = self.odom.copy()
-        self.odom = np.asarray(result.T)
+        self.odom = T_np.copy()  # already fetched in the fused frame-stats sync
         self.last_frame_time = timestamp
         delta = np.linalg.inv(self.prev_odom) @ self.odom
         tw = lie_np.se3_log(delta)
@@ -325,11 +364,10 @@ class LidarOdometry:
         else:
             self._map_prior_state = inactive_prior()
 
-        out = align_pipeline(
+        out = self._align_pipeline_jit(
             self.preprocessed,
             self.submap.submap_cloud,
             self.submap.submap_knn,
-            self.pipeline_params,
             initial_guess=jnp.asarray(init_T),
             prev_pose=jnp.asarray(self.odom),
             dt=jnp.float32(self.dt),
@@ -347,25 +385,23 @@ class LidarOdometry:
             )
         return result, out.registration_input, out.deskewed
 
-    def _submapping(self, result, reg_input, deskewed, timestamp):
-        """hpp:599-621: robust-weighted submap sampling + insertion."""
+    def _submapping(self, result, T_np, n_deskewed, inlier_ratio, deskewed, timestamp):
+        """hpp:599-621: robust-weighted submap sampling + insertion.  All
+        scalar decisions use the pre-fetched frame stats (one link sync)."""
         p = self.params
         weights = None
-        if int(deskewed.count()) > p.submap.point_random_sampling_num:
+        if n_deskewed > p.submap.point_random_sampling_num:
             robust_scale = (
                 self.pipeline_params.robust.min_scale
                 if self.pipeline_params.robust.auto_scale
                 else p.registration.factor.robust.default_scale
             )
-            weights = compute_icp_robust_weights(
+            weights = self._icp_weights_jit(
                 deskewed, self.submap.submap_cloud, self.submap.submap_knn,
-                jnp.asarray(result.T), p.registration.factor, jnp.float32(robust_scale),
+                jnp.asarray(T_np), jnp.float32(robust_scale),
             )
-        ratio = float(
-            result.inlier / max(int(reg_input.count()), 1)
-        )
         self.submap.add_frame(
-            deskewed, np.asarray(result.T), result, ratio, timestamp, weights
+            deskewed, T_np, result, inlier_ratio, timestamp, weights
         )
 
     # -- accessors -----------------------------------------------------------

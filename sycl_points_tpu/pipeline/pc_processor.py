@@ -47,6 +47,11 @@ class PCProcessor:
         self._prefilter_jit = jax.jit(self._prefilter_fn)
         self._covariances_jit = jax.jit(self._covariances_fn)
         self._refine_jit = jax.jit(self._refine_fn)
+        # cached ONCE: a fresh jax.jit object per call would retrace and
+        # recompile every frame (~15 s/frame on this toolchain).
+        self._knn_jit = jax.jit(
+            partial(approx_knn, k=self.params.covariance_estimation.neighbor_num)
+        )
 
     # -- prefilter ----------------------------------------------------------
     def _prefilter_fn(self, cloud: PointCloud, key) -> PointCloud:
@@ -81,10 +86,9 @@ class PCProcessor:
 
     # -- covariance context --------------------------------------------------
     def prepare_context(self, cloud: PointCloud) -> ProcessingContext:
-        k = self.params.covariance_estimation.neighbor_num
         # Covariance neighborhoods tolerate ~2% approximate neighbors;
         # approx_max_k is 7.7x faster on TPU and exact on CPU.
-        knn = jax.jit(partial(approx_knn, k=k))(cloud.points, cloud.mask, cloud.points)
+        knn = self._knn_jit(cloud.points, cloud.mask, cloud.points)
         return ProcessingContext(knn=knn)
 
     def _covariances_fn(self, cloud: PointCloud, knn: KNNResult) -> PointCloud:
