@@ -155,7 +155,7 @@ def approx_knn(
     k: int,
     pose: Optional[jax.Array] = None,
     chunk: int = 16384,
-    recall_target: float = 0.99,
+    recall_target: float = 0.95,
 ) -> KNNResult:
     """Approximate KNN via ``lax.approx_max_k`` (the TPU PartialReduce op).
 
@@ -180,9 +180,13 @@ def approx_knn(
     if n_chunks == 1:
         d2 = _pairwise_sqdist(query_points, target_points)
         d2 = jnp.where(target_mask[None, :], d2, _BIG)
-        # recall_target=0.99 (not the lax default 0.95): measured on-chip
-        # recall at k=20 on a Velodyne-density cloud was 0.966 at the
-        # default and 0.968 at 0.98 (scripts/KNN_RECALL.json).
+        # recall_target default 0.95 is the measured sweet spot: on-chip
+        # recall on a Velodyne-density cloud is 0.983 at the operating k=10
+        # (0.966 at k=20) while raising the target to 0.99 makes the
+        # PartialReduce nearly exact-cost (self-KNN 0.44 -> 3.99 ms,
+        # headline pairs 5.0 -> 10.9 ms).  scripts/KNN_RECALL.json pins
+        # these recalls per round; pass recall_target explicitly for
+        # high-k robust-covariance configurations that need more.
         neg_d, idx = jax.lax.approx_max_k(-d2, k, recall_target=recall_target)
         return KNNResult(idx.astype(jnp.int32), -neg_d)
 
