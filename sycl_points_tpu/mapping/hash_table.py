@@ -80,9 +80,18 @@ def resolve_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int)
     Returns ``(coords_tbl', used', slot [M] int32 (-1 unresolved),
     resolved [M] bool)``.
 
-    The probe loop is a ``lax.while_loop`` with an all-resolved early exit:
-    at sane load factors nearly every key lands within 1-3 probes, so only
-    ~2-4 rounds execute instead of the static ``max_probes``.
+    Two phases, each a ``lax.while_loop`` with an all-settled early exit:
+
+    1. read-only LOOKUP rounds (two uint32 gathers, no scatters — ~2x
+       cheaper than a claim round) settle every key that already exists or
+       provably does not (empty slot on its chain).  In the steady state of
+       map insertion almost every voxel already exists, so this phase does
+       nearly all the work;
+    2. CLAIM rounds (scatter-claim with ticket arbitration) run only for
+       the keys the lookup proved absent — on a warm map usually none.
+
+    Keys are unique within a batch, so lookups against the pre-claim table
+    are race-free.
     """
     M = keys.shape[0]
     h1, h2 = hash_coords(keys, capacity)
@@ -91,31 +100,51 @@ def resolve_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int)
     thi, tlo = _pack2(coords_tbl)
     used_i = used.astype(jnp.int32)
 
-    def cond(st):
-        probe, _, _, _, _, unresolved = st
-        return (probe < max_probes) & jnp.any(unresolved)
+    # ---- phase 1: lookup ---------------------------------------------------
+    def l_cond(st):
+        probe, _, found, dead = st
+        return (probe < max_probes) & jnp.any(valid & ~found & ~dead)
 
-    def body(st):
-        probe, thi, tlo, used_i, slot_out, unresolved = st
+    def l_body(st):
+        probe, slot_out, found, dead = st
         cand = probe_slots(h1, h2, probe, capacity)
         occ = used_i[cand] != 0
         match = occ & (thi[cand] == khi) & (tlo[cand] == klo)
-        hit = unresolved & match
+        new_found = valid & ~found & ~dead & match
+        slot_out = jnp.where(new_found, cand, slot_out)
+        return probe + 1, slot_out, found | new_found, dead | ~occ
+
+    l_init = (
+        jnp.int32(0),
+        jnp.full((M,), -1, jnp.int32),
+        jnp.zeros((M,), bool),
+        jnp.zeros((M,), bool),
+    )
+    _, slot_out, found, _ = jax.lax.while_loop(l_cond, l_body, l_init)
+
+    # ---- phase 2: claim (absent keys only) ---------------------------------
+    def c_cond(st):
+        probe, _, _, _, _, unresolved = st
+        return (probe < max_probes) & jnp.any(unresolved)
+
+    def c_body(st):
+        probe, thi, tlo, used_i, slot_out, unresolved = st
+        cand = probe_slots(h1, h2, probe, capacity)
+        occ = used_i[cand] != 0
         try_claim = unresolved & ~occ
         claim = jnp.full((capacity,), -1, jnp.int32)
         claim = claim.at[jnp.where(try_claim, cand, capacity)].set(seg_ids, mode="drop")
         winner = try_claim & (claim[cand] == seg_ids)
 
-        resolved_now = hit | winner
-        slot_out = jnp.where(resolved_now, cand, slot_out)
+        slot_out = jnp.where(winner, cand, slot_out)
         w_idx = jnp.where(winner, cand, capacity)
         thi = thi.at[w_idx].set(khi, mode="drop")
         tlo = tlo.at[w_idx].set(klo, mode="drop")
         used_i = used_i.at[w_idx].set(1, mode="drop")
-        return probe + 1, thi, tlo, used_i, slot_out, unresolved & ~resolved_now
+        return probe + 1, thi, tlo, used_i, slot_out, unresolved & ~winner
 
-    init = (jnp.int32(0), thi, tlo, used_i, jnp.full((M,), -1, jnp.int32), valid)
-    _, thi, tlo, used_i, slot_out, unresolved = jax.lax.while_loop(cond, body, init)
+    c_init = (jnp.int32(0), thi, tlo, used_i, slot_out, valid & ~found)
+    _, thi, tlo, used_i, slot_out, unresolved = jax.lax.while_loop(c_cond, c_body, c_init)
 
     used_out = used_i != 0
     coords_out = jnp.where(used_out[:, None], _unpack2(thi, tlo), _SENTINEL)
