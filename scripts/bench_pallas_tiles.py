@@ -117,6 +117,8 @@ def main():
         ref = None
         for qt in (1024, 2048):
             for tc in (512, 1024, 2048):
+                if qt * tc * 4 > 9 * 2**20:
+                    continue  # [qt, tc] f32 distance block exceeds scoped VMEM
                 fn = make_nn1(qt, tc)
                 i, d = fn(t, m, q)
                 i = np.asarray(i)

@@ -24,9 +24,12 @@ from jax.experimental.pallas import tpu as pltpu
 from sycl_points_tpu.points.point_cloud import round_up
 
 # 1024 matches the XLA layout tiling for 1-D f32 outputs (Mosaic verifies
-# the operand layout against the block shape).
+# the operand layout against the block shape).  Target chunk 2048 is the
+# measured optimum (scripts/bench_pallas_tiles.py sweep on v5e): 2.5-3x
+# faster than 512 at 22k-131k targets; [1024, 2048] f32 distance blocks
+# (8 MB) stay inside scoped VMEM, [2048, 2048] does not.
 _QUERY_TILE = 1024
-_TARGET_CHUNK = 512
+_TARGET_CHUNK = 2048
 _BIG = 3.0e38
 
 
