@@ -424,9 +424,11 @@ def config8_kitti_scale():
         t_pts = tgt.points[:M]
         t_mask = tgt.mask[:M]
         q = src.points[:8192]
+        knn_struct = BruteForceKNN(points=t_pts, mask=t_mask, use_pallas=True)
 
         def b_nn1(i, acc):
-            r = brute_force_knn(t_pts, t_mask, q + 1e-12 * acc, 1)
+            # production correspondence path (Pallas VMEM kernel)
+            r = knn_struct.search(q + 1e-12 * acc, 1)
             return acc + r.distances[0, 0]
 
         def b_k10(i, acc):

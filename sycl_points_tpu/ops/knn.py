@@ -272,13 +272,14 @@ class BruteForceKNN:
 
 # Target-count crossover for correspondence (k=1) search, MEASURED on the
 # TPU v5e chip with 8192 queries (scripts/measure_grid_crossover.py ->
-# scripts/GRID_CROSSOVER.json): brute-force nn1 is 3.8 ms at M=16k scaling
-# linearly to 59.6 ms at M=524k, while the grid's 27-cell gather chain costs
-# 154 ms at 16k and GROWS to 745 ms at 524k (denser maps force a larger
-# per-cell candidate budget).  There is NO crossover within the library's
-# operating envelope — TPU gathers lose to MXU/VPU streaming everywhere —
-# so auto-selection always picks brute force; GridKNN stays available as an
-# explicit opt-in (pass a finite ``threshold``).
+# scripts/GRID_CROSSOVER.json, retuned Pallas kernel): brute-force nn1 is
+# 0.5 ms at M=16k scaling linearly to 21.6 ms at M=524k, while the grid's
+# 27-cell gather chain costs 165-190 ms at small M and GROWS to 732 ms at
+# 524k (denser maps force a larger per-cell candidate budget).  There is NO
+# crossover within the library's operating envelope — TPU gathers lose to
+# MXU/VPU streaming by 30-380x everywhere — so auto-selection always picks
+# brute force; GridKNN stays available as an explicit opt-in (pass a finite
+# ``threshold``).
 GRID_KNN_TARGET_THRESHOLD = 1 << 62
 
 

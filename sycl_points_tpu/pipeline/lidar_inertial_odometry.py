@@ -68,6 +68,21 @@ class LidarInertialOdometry:
                 src, tgt, knn, pose, params.registration.factor
             )
         )
+        # One fused post-registration readback (pose + inlier + count): each
+        # device->host sync costs a full link round trip.
+        self._frame_stats_jit = jax.jit(
+            lambda T, inlier, reg_input: jnp.concatenate(
+                [
+                    T.ravel(),
+                    jnp.stack(
+                        [
+                            inlier.astype(jnp.float32),
+                            reg_input.count().astype(jnp.float32),
+                        ]
+                    ),
+                ]
+            )
+        )
 
         self.x = State(
             position=jnp.asarray(params.pose.initial_matrix()[:3, 3]),
@@ -197,11 +212,18 @@ class LidarInertialOdometry:
 
         # submapping (same flow as LO)
         t0 = time.perf_counter()
-        self._submapping(reg_result, reg_input, timestamp)
+        stats = np.asarray(
+            self._frame_stats_jit(reg_result.T, reg_result.inlier, reg_input)
+        )
+        T_np = stats[:16].reshape(4, 4).astype(np.float32)
+        self._submapping(
+            reg_result, T_np, float(stats[16]) / max(int(stats[17]), 1),
+            int(stats[17]), reg_input, timestamp,
+        )
         self.processing_times["4. build submap"] += time.perf_counter() - t0
 
         self.prev_odom = self.odom.copy()
-        self.odom = np.asarray(reg_result.T)
+        self.odom = T_np.copy()
         return ResultType.success
 
     # ------------------------------------------------------------------
@@ -317,17 +339,16 @@ class LidarInertialOdometry:
         self._reset_imu_preintegration()
         return result, source
 
-    def _submapping(self, result, reg_input, timestamp):
+    def _submapping(self, result, T_np, inlier_ratio, n_input, reg_input, timestamp):
         p = self.params
         weights = None
-        if int(reg_input.count()) > p.submap.point_random_sampling_num:
+        if n_input > p.submap.point_random_sampling_num:
             weights = self._icp_weights_jit(
                 reg_input, self.submap.submap_cloud, self.submap.submap_knn,
                 result.T,
             )
-        ratio = float(result.inlier) / max(int(reg_input.count()), 1)
         self.submap.add_frame(
-            reg_input, np.asarray(result.T), result, ratio, timestamp, weights
+            reg_input, T_np, result, inlier_ratio, timestamp, weights
         )
 
     def get_odometry(self) -> np.ndarray:
