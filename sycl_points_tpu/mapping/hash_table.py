@@ -74,6 +74,46 @@ def compact_indices(keep: jax.Array, out_capacity: int):
     return idx, mask
 
 
+def compact_indices_ranked(keep: jax.Array, rank: jax.Array, out_capacity: int):
+    """:func:`compact_indices` with overflow accounting and rank-ordered
+    retention.
+
+    When the kept slots fit in ``out_capacity`` this is the same O(C)
+    cumsum compaction (slot order).  When they OVERFLOW, a ``lax.cond``
+    switches to a rank-sorted selection keeping the ``out_capacity``
+    smallest-``rank`` entries (e.g. nearest-to-sensor) instead of an
+    arbitrary hash-slot-order subset — the O(C log C) sort is paid only on
+    overflow frames.
+
+    Returns ``(idx, mask, n_overflow)`` where ``n_overflow`` counts kept
+    slots that did not fit (no silent caps).
+    """
+    C = keep.shape[0]
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    if out_capacity >= C:  # overflow impossible: every slot fits
+        idx, mask = compact_indices(keep, out_capacity)
+        return idx, mask, jnp.int32(0)
+    n_overflow = jnp.maximum(n_keep - out_capacity, 0)
+
+    def slot_order(_):
+        idx, mask = compact_indices(keep, out_capacity)
+        return idx, mask
+
+    def rank_order(_):
+        key = jnp.where(keep, rank.astype(jnp.float32), jnp.inf)
+        _, idx_sorted = jax.lax.sort(
+            (key, jnp.arange(C, dtype=jnp.int32)), num_keys=1
+        )
+        idx = idx_sorted[:out_capacity]
+        mask = jnp.arange(out_capacity, dtype=jnp.int32) < jnp.minimum(
+            n_keep, out_capacity
+        )
+        return idx, mask
+
+    idx, mask = jax.lax.cond(n_overflow > 0, rank_order, slot_order, None)
+    return idx, mask, n_overflow
+
+
 def resolve_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int):
     """Find-or-claim a slot for each unique key.
 

@@ -27,9 +27,21 @@ import math
 import jax
 import jax.numpy as jnp
 
-from sycl_points_tpu.mapping.hash_table import compact_indices, lookup_slots, resolve_slots
+from sycl_points_tpu.mapping.hash_table import (
+    compact_indices,
+    compact_indices_ranked,
+    lookup_slots,
+    resolve_slots,
+)
 from sycl_points_tpu.mapping.voxel_hash_map import _tri_pack, _tri_unpack
-from sycl_points_tpu.ops.voxel import _SENTINEL, COORD_MASK, COORD_OFFSET, sort_by_cell, voxel_coords
+from sycl_points_tpu.ops.voxel import (
+    _SENTINEL,
+    COORD_MASK,
+    COORD_OFFSET,
+    sort_by_cell,
+    voxel_coords,
+    voxel_coords_counted,
+)
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import eigh3
 
@@ -69,6 +81,25 @@ class OccupancyGridConfig:
         return int(math.ceil(math.sqrt(3.0) * self.max_ray_distance / self.voxel_size)) + 3
 
     @property
+    def ray_axis_budget(self) -> int:
+        """Per-axis crossing budget of the analytic carve DDA: a ray of
+        length <= max_ray_distance crosses at most ceil(L/voxel)+1 planes of
+        any one axis.  Unlike the merged-order budget (ray_step_budget) this
+        bound is exact, so carve truncation cannot occur."""
+        n = int(math.ceil(self.max_ray_distance / self.voxel_size)) + 2
+        if self.max_ray_steps > 0:
+            # A manual step limit caps total crossings per ray, hence also
+            # per-axis crossings.
+            n = min(n, self.max_ray_steps + 1)
+        if 2 * n + 2 > 1290:  # (2n+2)^3 must fit an int32 packed key
+            raise ValueError(
+                f"max_ray_distance/voxel_size = {self.max_ray_distance / self.voxel_size:.0f} "
+                "exceeds the int32 packed-key budget (642 cells); raise voxel_size, "
+                "lower max_ray_distance, or set max_ray_steps to bound the carve"
+            )
+        return n
+
+    @property
     def miss_merge_budget(self) -> int:
         return min(self.miss_budget, self.capacity)
 
@@ -88,6 +119,13 @@ class OccupancyGridState:
     frame: jax.Array  # scalar int32
     dropped: jax.Array  # scalar int32: contributions lost to probe exhaustion
     truncated_rays: jax.Array  # scalar int32: rays cut short by the DDA bound
+    # scalar int32: contributions lost to FIXED budgets that growing the
+    # table cannot raise (miss-merge budget, extent/coordinate range).  Kept
+    # separate from ``dropped`` so the growth policy never retries them.
+    budget_lost: jax.Array
+    # scalar int32: rays longer than max_ray_distance whose free-space carve
+    # was clamped to that length (hits are still registered at full range).
+    clamped_rays: jax.Array
 
 
 def create(config: OccupancyGridConfig) -> OccupancyGridState:
@@ -105,6 +143,8 @@ def create(config: OccupancyGridConfig) -> OccupancyGridState:
         frame=jnp.int32(0),
         dropped=jnp.int32(0),
         truncated_rays=jnp.int32(0),
+        budget_lost=jnp.int32(0),
+        clamped_rays=jnp.int32(0),
     )
 
 
@@ -182,35 +222,147 @@ def _dda_ray_coords(origin: jax.Array, targets: jax.Array, valid: jax.Array,
     return c, emit, i0 + COORD_OFFSET, it + COORD_OFFSET, truncated
 
 
-def _merge_miss_counts(coords_flat, w, capacity):
-    """Unique-voxel counts for the (huge) flattened miss-ray batch.
+def _ray_carve_keys(origin: jax.Array, targets: jax.Array, valid: jax.Array,
+                    voxel_size: float, axis_budget: int, max_len: float,
+                    step_limit: int = 0):
+    """Packed int32 cell keys of the voxels strictly between ``origin`` and
+    each (length-clamped) target — the carve set of
+    traverse_ray_exclusive_impl (occupancy_grid_map.hpp:821-900), computed
+    WITHOUT the merged-crossing sort.
 
-    The general :func:`_segment_merge` gathers full coordinate rows through
-    an argsort — fine at N=scan size, ~10x too expensive at N*S ray rows.
-    Here the re-based coords pack into ONE int32 key (1024 cells/axis extent
-    budget, plenty for max_ray_distance-bounded rays), a single key-only
-    ``lax.sort`` orders them, and counts segment-reduce straight into
-    ``capacity`` slots (sorted indices).  Unique voxels beyond ``capacity``
-    are COUNTED and returned as ``n_lost`` — the growth policy's signal.
+    Closed-form DDA: crossing ``j`` of axis ``a`` happens at
+    ``t = t0_a + j*dt_a``; the voxel entered there is
+    ``i0 + step * n`` where ``n_b`` counts axis-``b`` crossings at or before
+    ``t`` (ties broken by axis order, matching the stable merged sort).  Each
+    count is a floor/ceil of ``(t - t0_b)/dt_b`` — pure elementwise math, no
+    [N,3S] sort, no cumsum (the sort dominated the carve cost: measured
+    55 ms for insert+carve at config 7 before this change).
 
-    Returns (keys [capacity, 3], cnt [capacity], n_lost rows).
+    Per-axis budget ``axis_budget`` >= ceil(max_len/voxel)+1 covers every
+    crossing of a clamped ray, so truncation cannot occur.  Keys are packed
+    relative to the origin voxel (all carved voxels lie within ``max_len``
+    of the origin): ``B = 2*axis_budget + 2`` cells per axis.
+
+    Returns ``(keys [N, 3*Sa] int32 (sentinel when not emitted),
+    origin_emit [N] bool, origin_coord [3], base_coord [3], B,
+    n_clamped, n_range_lost)``.
     """
-    B = 1024
-    big = jnp.int32(2**30)
-    sentinel = jnp.int32(2**31 - 1)
-    ok = w > 0
-    masked = jnp.where(ok[:, None], coords_flat, big)
-    cmin = jnp.min(masked, axis=0)
-    rel = coords_flat - cmin
-    in_b = ok & jnp.all((rel >= 0) & (rel < B), axis=-1)
-    key = (rel[:, 0] * B + rel[:, 1]) * B + rel[:, 2]
-    key = jnp.where(in_b, key, sentinel)
+    Sa = axis_budget
+    B = 2 * Sa + 2
+    inv = 1.0 / voxel_size
+    eps = jnp.finfo(jnp.float32).eps
+    big = jnp.float32(3.0e38)
 
-    key_s = jax.lax.sort(key)
+    d = targets - origin[None, :]
+    L = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    clamped = valid & (L > max_len)
+    scale = jnp.where(L > max_len, max_len / jnp.maximum(L, eps), 1.0)
+    tgt = origin[None, :] + d * scale[:, None]
+
+    so = origin * inv  # [3]
+    st = tgt * inv  # [N, 3]
+    i0 = jnp.floor(so).astype(jnp.int32)  # [3]
+    it = jnp.floor(st).astype(jnp.int32)  # [N, 3]
+
+    dvox = st - so[None, :]
+    abs_d = jnp.abs(dvox)
+    step = jnp.sign(dvox).astype(jnp.int32)  # [N, 3]
+    inv_mag = jnp.where(abs_d > eps, 1.0 / jnp.maximum(abs_d, eps), big)
+    frac = so - jnp.floor(so)
+    t0 = jnp.where(
+        step != 0,
+        jnp.where(step > 0, 1.0 - frac[None, :], frac[None, :]) * inv_mag,
+        big,
+    )  # [N, 3]
+    dt = jnp.where(step != 0, inv_mag, big)
+
+    nmax = jnp.abs(it - i0[None, :])  # [N, 3] exact per-axis crossing counts
+
+    j = jnp.arange(Sa, dtype=jnp.float32)
+    t = t0[:, :, None] + dt[:, :, None] * j[None, None, :]  # [N, 3, Sa]
+    exists = jnp.arange(Sa, dtype=jnp.int32)[None, None, :] < nmax[:, :, None]
+
+    # Crossings of axis b at or before t (tie -> include iff b <= a, the
+    # stable-sort order); b == a is exactly j+1.
+    x = (t[:, :, :, None] - t0[:, None, None, :]) / dt[:, None, None, :]  # [N,3,Sa,3]
+    cnt_le = jnp.floor(x).astype(jnp.int32) + 1
+    cnt_lt = jnp.ceil(x).astype(jnp.int32)
+    a_idx = jnp.arange(3, dtype=jnp.int32)[None, :, None, None]
+    b_idx = jnp.arange(3, dtype=jnp.int32)[None, None, None, :]
+    n = jnp.where(b_idx < a_idx, cnt_le, cnt_lt)
+    n = jnp.where(
+        b_idx == a_idx,
+        jnp.broadcast_to(
+            (jnp.arange(Sa, dtype=jnp.int32) + 1)[None, None, :, None], n.shape
+        ),
+        n,
+    )
+    n = jnp.clip(n, 0, nmax[:, None, None, :])
+    pos = i0[None, None, None, :] + step[:, None, None, :] * n  # [N, 3, Sa, 3]
+
+    reached = jnp.all(pos == it[:, None, None, :], axis=-1)
+    emit = valid[:, None, None] & exists & ~reached
+
+    # Optional manual step limit (config.max_ray_steps > 0): suppress
+    # crossings past the limit in merged-DDA order — the rank of a crossing
+    # is the number of crossings at or before it, available in closed form
+    # as sum_b n_b.  Rays with suppressed crossings are counted as truncated
+    # (the auto per-axis budget makes truncation impossible, so this only
+    # fires for explicitly configured budgets).
+    n_truncated = jnp.int32(0)
+    if step_limit > 0:
+        rank = jnp.sum(n, axis=-1) - 1  # [N, 3, Sa], 0-based merged order
+        over = exists & valid[:, None, None] & (rank >= step_limit)
+        n_truncated = jnp.sum(jnp.any(over, axis=(1, 2)).astype(jnp.int32))
+        emit = emit & (rank < step_limit)
+
+    base = i0 + COORD_OFFSET - (Sa + 1)  # [3]; carve cells lie in [base, base+B)
+    # 21-bit validity of the whole carve window (scalar; clamped rays keep
+    # the window within max_len of the origin).
+    window_ok = jnp.all((base >= 0) & (base + B <= COORD_MASK))
+    rel = (pos + COORD_OFFSET) - base[None, None, None, :]
+    in_b = jnp.all((rel >= 0) & (rel < B), axis=-1) & window_ok
+    n_range_lost = jnp.sum((emit & ~in_b).astype(jnp.int32))
+    emit = emit & in_b
+
+    key = (rel[..., 0] * B + rel[..., 1]) * B + rel[..., 2]
+    key = jnp.where(emit, key, jnp.int32(2**31 - 1))
+
+    origin_coord = i0 + COORD_OFFSET
+    origin_differs = jnp.any(origin_coord[None, :] != (it + COORD_OFFSET), axis=-1)
+    origin_in_range = jnp.all((origin_coord >= 0) & (origin_coord <= COORD_MASK))
+    origin_emit = valid & origin_differs & origin_in_range
+
+    N = targets.shape[0]
+    return (
+        key.reshape(N, 3 * Sa),
+        origin_emit,
+        origin_coord,
+        base,
+        B,
+        jnp.sum(clamped.astype(jnp.int32)),
+        n_range_lost,
+        n_truncated,
+    )
+
+
+def _merge_miss_keys(keys_flat, capacity, B, base_coord):
+    """Unique-voxel counts for the flattened packed carve keys.
+
+    One key-only ``lax.sort`` orders the int32 keys; counts segment-reduce
+    into ``capacity`` slots.  Unique voxels beyond ``capacity`` are clamped
+    to the overflow segment (keeping the sorted-indices contract monotone)
+    and COUNTED into ``n_lost`` — a fixed-budget loss, not growth-fixable.
+
+    Returns (keys [capacity, 3] in offset coords, cnt [capacity], n_lost).
+    """
+    sentinel = jnp.int32(2**31 - 1)
+    key_s = jax.lax.sort(keys_flat)
     okr = key_s != sentinel
     new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
-    seg_id = jnp.cumsum((new_seg & okr).astype(jnp.int32)) - 1
-    seg_id = jnp.where(okr, seg_id, capacity)
+    seg_raw = jnp.cumsum((new_seg & okr).astype(jnp.int32)) - 1
+    n_lost = jnp.sum((okr & (seg_raw >= capacity)).astype(jnp.int32))
+    seg_id = jnp.where(okr, jnp.minimum(seg_raw, capacity), capacity)
 
     cnt = jax.ops.segment_sum(
         okr.astype(jnp.float32), seg_id, num_segments=capacity + 1,
@@ -223,19 +375,17 @@ def _merge_miss_counts(coords_flat, w, capacity):
     rz = rep % B
     ry = (rep // B) % B
     rx = rep // (B * B)
-    keys = jnp.stack([rx, ry, rz], axis=-1) + cmin
+    keys = jnp.stack([rx, ry, rz], axis=-1) + base_coord[None, :]
     keys = jnp.where((cnt > 0)[:, None], keys, _SENTINEL)
-    n_lost = jnp.sum((okr & (seg_id >= capacity)).astype(jnp.int32)) + jnp.sum(
-        (ok & ~in_b).astype(jnp.int32)
-    )
     return keys, cnt, n_lost
 
 
 def _segment_merge(coords, w, payloads, capacity):
     """Sort + segment-reduce (coords, payload) rows to unique keys.
-    Returns (seg_keys [N,3], seg_valid [N], aggregated payloads)."""
+    Returns (seg_keys [N,3], seg_valid [N], aggregated payloads,
+    n_extent_lost)."""
     N = coords.shape[0]
-    order, coords_s, ok_s, seg_id, new_seg = sort_by_cell(coords, w > 0)
+    order, coords_s, ok_s, seg_id, new_seg, n_extent_lost = sort_by_cell(coords, w > 0)
     w_s = w[order] * ok_s.astype(w.dtype)
 
     def seg(x):
@@ -248,7 +398,7 @@ def _segment_merge(coords, w, payloads, capacity):
     cnt = jax.ops.segment_sum(w_s, seg_id, num_segments=N)
     first = jnp.full((N,), N - 1, jnp.int32).at[seg_id].min(jnp.arange(N, dtype=jnp.int32))
     seg_keys = coords_s[first]
-    return seg_keys, cnt, aggs
+    return seg_keys, cnt, aggs, n_extent_lost
 
 
 def add_point_cloud(
@@ -263,7 +413,7 @@ def add_point_cloud(
     R = sensor_pose[:3, :3]
     origin = sensor_pose[:3, 3]
     pts_map = cloud.points @ R.T + origin
-    coords, ok = voxel_coords(pts_map, cloud.mask, config.voxel_size)
+    coords, ok, n_range_lost = voxel_coords_counted(pts_map, cloud.mask, config.voxel_size)
     # reference guards dist^2 > eps
     dist_sq = jnp.sum((pts_map - origin) ** 2, axis=-1)
     ok = ok & (dist_sq > jnp.finfo(jnp.float32).eps)
@@ -277,7 +427,7 @@ def add_point_cloud(
     inten = cloud.intensities if cloud.intensities is not None else jnp.zeros((N,), jnp.float32)
 
     # ---- hits -------------------------------------------------------------
-    seg_keys, hit_cnt, (agg_pos, agg_logcov, agg_rgba, agg_int) = _segment_merge(
+    seg_keys, hit_cnt, (agg_pos, agg_logcov, agg_rgba, agg_int), n_extent_lost = _segment_merge(
         coords, ok.astype(jnp.float32), [pts_map, logcov, rgba, inten], config.capacity
     )
     seg_valid = hit_cnt > 0.0
@@ -296,33 +446,36 @@ def add_point_cloud(
     last_update = state.last_update.at[tgt].set(state.frame, mode="drop")
 
     n_dropped = jnp.sum((seg_valid & ~resolved).astype(jnp.int32))
+    n_budget_lost = n_range_lost + n_extent_lost
     n_truncated = jnp.int32(0)
+    n_clamped = jnp.int32(0)
 
     # ---- free space (misses) ---------------------------------------------
     if config.free_space_updates_enabled and config.log_odds_miss != 0.0:
-        ray_coords, ray_emit, origin_coord, target_coords, still_active = _dda_ray_coords(
-            origin, pts_map, ok, config.voxel_size, config.ray_step_budget
+        (miss_keys, origin_emit, origin_coord, base, B, n_clamped, carve_lost,
+         n_truncated) = _ray_carve_keys(
+            origin, pts_map, ok, config.voxel_size,
+            config.ray_axis_budget, config.max_ray_distance,
+            step_limit=config.max_ray_steps,
         )
-        n_truncated = jnp.sum(still_active.astype(jnp.int32))
+        n_budget_lost = n_budget_lost + carve_lost
         # Per-ray origin miss unless the origin voxel received a hit this
-        # frame (occupancy_grid_map.hpp:1427-1434).
+        # frame (occupancy_grid_map.hpp:1427-1434).  All N origin misses hit
+        # ONE voxel, so it joins the merged keys as a single appended row
+        # instead of N sort rows.
         origin_hit = jnp.any(ok & jnp.all(coords == origin_coord[None, :], axis=-1))
-        origin_differs = jnp.any(origin_coord[None, :] != target_coords, axis=-1)
-        origin_in_range = jnp.all((origin_coord >= 0) & (origin_coord <= COORD_MASK))
-        origin_emit = ok & origin_differs & ~origin_hit & origin_in_range
+        origin_cnt = jnp.where(
+            origin_hit, 0.0, jnp.sum(origin_emit.astype(jnp.float32))
+        )
 
-        miss_coords = jnp.concatenate(
-            [ray_coords.reshape(-1, 3), jnp.broadcast_to(origin_coord, (N, 3))], axis=0
+        # Lean key-only merge straight into `miss_merge_budget` unique slots;
+        # unique voxels beyond the budget are counted into `budget_lost`
+        # (a fixed per-frame budget — growing the table cannot raise it).
+        m_keys, m_cnt, m_lost = _merge_miss_keys(
+            miss_keys.reshape(-1), config.miss_merge_budget, B, base
         )
-        miss_w = jnp.concatenate([ray_emit.reshape(-1), origin_emit], axis=0).astype(jnp.float32)
-        miss_coords = jnp.where(miss_w[:, None] > 0, miss_coords, _SENTINEL)
-        # Lean key-only merge straight into `capacity` unique slots; unique
-        # voxels beyond capacity are counted into `dropped` so the host
-        # growth policy reacts (a 0.5 m grid over 50 m rays can touch >200k
-        # voxels per frame — more than a small table holds).
-        m_keys, m_cnt, m_lost = _merge_miss_counts(
-            miss_coords, miss_w, config.miss_merge_budget
-        )
+        m_keys = jnp.concatenate([m_keys, origin_coord[None, :]], axis=0)
+        m_cnt = jnp.concatenate([m_cnt, origin_cnt[None]], axis=0)
         m_valid = m_cnt > 0.0
         coords_tbl, used, m_slot, m_resolved = resolve_slots(
             coords_tbl, used, m_keys, m_valid, config.capacity, config.max_probes
@@ -330,11 +483,8 @@ def add_point_cloud(
         m_tgt = jnp.where(m_resolved, m_slot, config.capacity)
         pending = pending.at[m_tgt].add(m_cnt * config.log_odds_miss, mode="drop")
         last_update = last_update.at[m_tgt].set(state.frame, mode="drop")
-        n_dropped = (
-            n_dropped
-            + jnp.sum((m_valid & ~m_resolved).astype(jnp.int32))
-            + m_lost
-        )
+        n_dropped = n_dropped + jnp.sum((m_valid & ~m_resolved).astype(jnp.int32))
+        n_budget_lost = n_budget_lost + m_lost
 
     # ---- apply pending with clamp ----------------------------------------
     log_odds = jnp.where(
@@ -349,6 +499,8 @@ def add_point_cloud(
         sum_intensity=sum_intensity, last_update=last_update, frame=state.frame + 1,
         dropped=state.dropped + n_dropped,
         truncated_rays=state.truncated_rays + n_truncated,
+        budget_lost=state.budget_lost + n_budget_lost,
+        clamped_rays=state.clamped_rays + n_clamped,
     )
     if config.voxel_pruning_enabled:
         new_state = prune_stale_voxels(new_state, config)
@@ -410,6 +562,8 @@ def grow(
         frame=state.frame,
         dropped=state.dropped + jnp.sum((state.used & ~resolved).astype(jnp.int32)),
         truncated_rays=state.truncated_rays,
+        budget_lost=state.budget_lost,
+        clamped_rays=state.clamped_rays,
     )
     return moved, new_config
 
@@ -466,27 +620,35 @@ def extract_occupied_points(
     with_covs: bool = False,
     with_rgb: bool = False,
     with_intensity: bool = False,
-) -> PointCloud:
+    with_overflow: bool = False,
+):
     """Occupied-voxel centroids within L-inf range of the sensor
-    (occupancy_grid_map.hpp:1530, 169-181)."""
+    (occupancy_grid_map.hpp:1530, 169-181).
+
+    On overflow the NEAREST ``out_capacity`` voxels to the sensor are kept;
+    ``with_overflow`` returns ``(cloud, n_overflow)`` (no silent caps)."""
     cnt_safe = jnp.maximum(state.hit_count, 1.0)
     centroid = state.sum_pos / cnt_safe[:, None]
     inside = jnp.all(jnp.abs(centroid - sensor_position) <= max_distance, axis=-1)
     keep = _occupied_mask(state, config) & inside
 
-    # O(C) cumsum compaction over used slots (not O(C log C) argsort), so
-    # extraction cost scales with contents, not grown table capacity.
-    order, mask = compact_indices(keep, out_capacity)
+    # O(C) cumsum compaction over used slots (not O(C log C) argsort) while
+    # the kept set fits; overflow switches to nearest-to-sensor retention.
+    dist_sq = jnp.sum((centroid - sensor_position) ** 2, axis=-1)
+    order, mask, n_overflow = compact_indices_ranked(keep, dist_sq, out_capacity)
     covs = None
     if with_covs:
         covs = eigh3.spd_exp(_tri_unpack(state.sum_logcov[order] / cnt_safe[order, None]))
-    return PointCloud(
+    out = PointCloud(
         points=centroid[order],
         mask=mask,
         covs=covs,
         rgb=state.sum_rgba[order] / cnt_safe[order, None] if with_rgb else None,
         intensities=state.sum_intensity[order] / cnt_safe[order] if with_intensity else None,
     )
+    if with_overflow:
+        return out, n_overflow
+    return out
 
 
 def extract_visible_points(

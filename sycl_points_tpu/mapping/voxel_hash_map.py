@@ -38,8 +38,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from sycl_points_tpu.mapping.hash_table import compact_indices, lookup_slots, resolve_slots
-from sycl_points_tpu.ops.voxel import _SENTINEL, sort_by_cell, voxel_coords
+from sycl_points_tpu.mapping.hash_table import (
+    compact_indices_ranked,
+    lookup_slots,
+    resolve_slots,
+)
+from sycl_points_tpu.ops.voxel import _SENTINEL, sort_by_cell, voxel_coords, voxel_coords_counted
 from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.utils import eigh3
 
@@ -67,6 +71,11 @@ class VoxelHashMapState:
     last_update: jax.Array  # [C] int32 frame stamp
     frame: jax.Array  # scalar int32
     dropped: jax.Array  # scalar int32: contributions lost to probe exhaustion
+    # scalar int32: contributions lost to FIXED budgets that growing the
+    # table cannot raise (out-of-extent sort keys, 21-bit coordinate range).
+    # Kept separate from ``dropped`` so the growth policy never retries
+    # unfixable losses (they recur at any capacity).
+    budget_lost: jax.Array
 
 
 _TRI = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
@@ -101,6 +110,7 @@ def create(config: VoxelHashMapConfig) -> VoxelHashMapState:
         last_update=jnp.zeros((C,), jnp.int32),
         frame=jnp.int32(0),
         dropped=jnp.int32(0),
+        budget_lost=jnp.int32(0),
     )
 
 
@@ -115,7 +125,7 @@ def add_point_cloud(
     N = cloud.capacity
     R = sensor_pose[:3, :3]
     pts_map = cloud.points @ R.T + sensor_pose[:3, 3]
-    coords, ok = voxel_coords(pts_map, cloud.mask, config.voxel_size)
+    coords, ok, n_range_lost = voxel_coords_counted(pts_map, cloud.mask, config.voxel_size)
 
     # Per-point payload in map frame.
     if cloud.covs is not None:
@@ -127,7 +137,7 @@ def add_point_cloud(
     inten = cloud.intensities if cloud.intensities is not None else jnp.zeros((N,), jnp.float32)
 
     # Frame-local pre-aggregation: packed-key sort, segment-reduce payloads.
-    order, coords_s, ok_s, seg_id, new_seg = sort_by_cell(coords, ok)
+    order, coords_s, ok_s, seg_id, new_seg, n_extent_lost = sort_by_cell(coords, ok)
     w = ok_s.astype(jnp.float32)
 
     def seg(x):
@@ -160,6 +170,7 @@ def add_point_cloud(
         last_update=state.last_update.at[tgt].set(state.frame, mode="drop"),
         frame=state.frame + 1,
         dropped=state.dropped + jnp.sum((seg_valid & ~resolved).astype(jnp.int32)),
+        budget_lost=state.budget_lost + n_range_lost + n_extent_lost,
     )
 
 
@@ -194,6 +205,7 @@ def grow(
         last_update=new.last_update.at[tgt].set(state.last_update, mode="drop"),
         frame=state.frame,
         dropped=state.dropped + jnp.sum((state.used & ~resolved).astype(jnp.int32)),
+        budget_lost=state.budget_lost,
     )
     return moved, new_config
 
@@ -255,11 +267,17 @@ def extract(
     with_covs: bool = True,
     with_rgb: bool = False,
     with_intensity: bool = False,
-) -> PointCloud:
+    with_overflow: bool = False,
+):
     """Aggregate voxels within the L-inf bounding box around ``center`` into
     a cloud (VoxelHashMap::downsampling, voxel_hash_map.hpp:936-1065):
     centroid, matrix-exp of the averaged log-covariance, attribute means,
-    ``min_num_point`` filtering.  Output capacity is static."""
+    ``min_num_point`` filtering.  Output capacity is static.
+
+    When more voxels are in range than ``out_capacity``, the NEAREST
+    ``out_capacity`` voxels to ``center`` are kept (not an arbitrary
+    hash-slot-order subset) and, with ``with_overflow``, the spill count is
+    returned as ``(cloud, n_overflow)`` (no silent caps)."""
     cnt_safe = jnp.maximum(state.count, 1.0)
     centroid = state.sum_pos / cnt_safe[:, None]
     lo = center - distance
@@ -267,9 +285,11 @@ def extract(
     inside = jnp.all((centroid >= lo) & (centroid <= hi), axis=-1)
     keep = state.used & (state.count >= config.min_num_point) & inside
 
-    # O(C) cumsum compaction over used slots (not O(C log C) argsort), so
-    # extraction cost scales with contents, not grown table capacity.
-    order, mask = compact_indices(keep, out_capacity)
+    # O(C) cumsum compaction over used slots (not O(C log C) argsort) in the
+    # common fits-in-capacity case; overflow switches to nearest-to-center
+    # retention via lax.cond (sort paid only on overflow frames).
+    dist_sq = jnp.sum((centroid - center) ** 2, axis=-1)
+    order, mask, n_overflow = compact_indices_ranked(keep, dist_sq, out_capacity)
 
     pts = centroid[order]
     covs = None
@@ -277,7 +297,10 @@ def extract(
         covs = eigh3.spd_exp(_tri_unpack(state.sum_logcov[order] / cnt_safe[order, None]))
     rgb = state.sum_rgba[order] / cnt_safe[order, None] if with_rgb else None
     inten = state.sum_intensity[order] / cnt_safe[order] if with_intensity else None
-    return PointCloud(points=pts, mask=mask, covs=covs, rgb=rgb, intensities=inten)
+    out = PointCloud(points=pts, mask=mask, covs=covs, rgb=rgb, intensities=inten)
+    if with_overflow:
+        return out, n_overflow
+    return out
 
 
 def compute_overlap_ratio(

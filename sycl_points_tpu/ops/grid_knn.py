@@ -75,7 +75,7 @@ class GridKNN:
         cap = table_capacity or max(256, 1 << (N - 1).bit_length())
         coords, ok = voxel_coords(cloud.points, cloud.mask, cell_size)
 
-        order, coords_s, ok_s, seg_id, new_seg = sort_by_cell(coords, ok)
+        order, coords_s, ok_s, seg_id, new_seg, _n_extent_lost = sort_by_cell(coords, ok)
 
         pos = jnp.arange(N, dtype=jnp.int32)
         seg_start = jnp.full((N,), N, jnp.int32).at[seg_id].min(pos)

@@ -155,7 +155,7 @@ def approx_knn(
     k: int,
     pose: Optional[jax.Array] = None,
     chunk: int = 16384,
-    recall_target: float = 0.95,
+    recall_target: Optional[float] = None,
 ) -> KNNResult:
     """Approximate KNN via ``lax.approx_max_k`` (the TPU PartialReduce op).
 
@@ -177,19 +177,26 @@ def approx_knn(
     chunk = min(chunk, round_up(M, 128))
     n_chunks = -(-M // chunk)
 
-    # recall_target default 0.95 is the measured sweet spot: on-chip
-    # recall on a Velodyne-density cloud is 0.983 at the operating k=10
-    # (0.966 at k=20) while raising the target to 0.99 makes the
+    # recall_target auto-policy (measured, scripts/KNN_RECALL.json): 0.95 is
+    # the sweet spot at the operating k=10 (on-chip recall 0.983 on a
+    # Velodyne-density cloud) while raising the target to 0.99 makes the
     # PartialReduce nearly exact-cost (self-KNN 0.44 -> 3.99 ms, headline
-    # pairs 5.0 -> 10.9 ms).  scripts/KNN_RECALL.json pins these recalls
-    # per round; pass recall_target explicitly for high-k
-    # robust-covariance configurations that need more.
-    #
+    # pairs 5.0 -> 10.9 ms).  At k>=16 the measured recall margin over the
+    # 0.95 floor thins (0.966 at k=20), so high-k call sites (robust
+    # covariance MAX_K tiers, SURVEY 2.5) get 0.97 for >=1.5 pt headroom;
+    # pass recall_target explicitly to override.
+    if recall_target is None:
+        recall_target = 0.95 if k < 16 else 0.97
+
     # The score is built as 2*q.t - |q|^2 - |t|^2 (= -d2) with the validity
     # mask FOLDED INTO |t|^2 as -inf: one fused matmul epilogue instead of
     # separate d2/where/negate passes over the [Q, M] matrix (measured 27%
-    # faster at a 24k self-join, identical recall).
+    # faster at a 24k self-join, identical recall).  Masked target ROWS are
+    # zeroed before the matmul: filter_by_mask leaves stale (possibly
+    # non-finite) data in masked rows, and a NaN coordinate would otherwise
+    # poison cross-products for every query (NaN - inf = NaN beats the mask).
     def _neg_d2(q, t, t_mask):
+        t = jnp.where(t_mask[:, None], t, 0.0)
         qq = jnp.sum(q * q, axis=-1, keepdims=True)
         tt = jnp.sum(t * t, axis=-1)
         tt = jnp.where(t_mask, tt, jnp.inf)

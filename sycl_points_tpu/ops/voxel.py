@@ -52,6 +52,21 @@ def voxel_coords(points: jax.Array, valid: jax.Array, voxel_size: float | jax.Ar
     return c, ok
 
 
+def voxel_coords_counted(points: jax.Array, valid: jax.Array, voxel_size: float | jax.Array):
+    """:func:`voxel_coords` plus a count of finite valid points outside the
+    21-bit coordinate range (surfaced by the map backends as budget loss —
+    no silent caps)."""
+    inv = 1.0 / voxel_size
+    scaled = points * inv
+    finite = jnp.all(jnp.isfinite(scaled), axis=-1) & valid
+    c = jnp.floor(scaled).astype(jnp.int32) + COORD_OFFSET
+    in_range = jnp.all((c >= 0) & (c <= COORD_MASK), axis=-1)
+    ok = finite & in_range
+    n_range_lost = jnp.sum((finite & ~in_range).astype(jnp.int32))
+    c = jnp.where(ok[:, None], c, _SENTINEL)
+    return c, ok, n_range_lost
+
+
 def _segment_ids_from_sorted_coords(coords_sorted: jax.Array):
     """Segment ids for lexicographically sorted coordinate rows."""
     prev = jnp.roll(coords_sorted, 1, axis=0)
@@ -77,14 +92,18 @@ def cell_sort_ids(coords: jax.Array, ok: jax.Array):
     packed into a single int32 (3 x 10 bits) — one sort pass, ~3x cheaper.
     Invalid/out-of-budget rows get the maximal key and sort to the tail.
 
-    Returns (order, ok_sorted, seg_id, new_seg); ``ok_sorted`` comes from
-    the sorted key itself (invalid == sentinel), saving a gather.
+    Returns (order, ok_sorted, seg_id, new_seg, n_extent_lost);
+    ``ok_sorted`` comes from the sorted key itself (invalid == sentinel),
+    saving a gather.  ``n_extent_lost`` counts otherwise-valid rows that
+    fell outside the per-frame extent budget (no silent caps: callers must
+    surface it).
     """
     big = jnp.int32(2**30)
     masked = jnp.where(ok[:, None], coords, big)
     cmin = jnp.min(masked, axis=0)
     rel = coords - cmin
     in_bound = ok & jnp.all((rel >= 0) & (rel < MAX_CELLS_PER_AXIS), axis=-1)
+    n_extent_lost = jnp.sum((ok & ~in_bound).astype(jnp.int32))
     key = (
         (rel[:, 0] * MAX_CELLS_PER_AXIS + rel[:, 1]) * MAX_CELLS_PER_AXIS + rel[:, 2]
     )
@@ -94,16 +113,16 @@ def cell_sort_ids(coords: jax.Array, ok: jax.Array):
     ok_s = key_s != jnp.int32(2**31 - 1)
     new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
     seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
-    return order, ok_s, seg_id, new_seg
+    return order, ok_s, seg_id, new_seg, n_extent_lost
 
 
 def sort_by_cell(coords: jax.Array, ok: jax.Array):
     """:func:`cell_sort_ids` plus the gathered sorted coordinates.
 
-    Returns (order, coords_sorted, ok_sorted, seg_id, new_seg).
+    Returns (order, coords_sorted, ok_sorted, seg_id, new_seg, n_extent_lost).
     """
-    order, ok_s, seg_id, new_seg = cell_sort_ids(coords, ok)
-    return order, coords[order], ok_s, seg_id, new_seg
+    order, ok_s, seg_id, new_seg, n_extent_lost = cell_sort_ids(coords, ok)
+    return order, coords[order], ok_s, seg_id, new_seg, n_extent_lost
 
 
 def voxel_downsample(
@@ -111,12 +130,19 @@ def voxel_downsample(
     voxel_size: float | jax.Array,
     min_voxel_count: int = 1,
     out_capacity: Optional[int] = None,
-) -> PointCloud:
+    return_lost: bool = False,
+):
     """Voxel-grid downsampling (VoxelGrid::downsampling,
     voxel_downsampling.hpp:50-79). Jittable; output capacity is static
-    (defaults to the input capacity)."""
+    (defaults to the input capacity).
+
+    With ``return_lost`` returns ``(cloud, n_extent_lost)`` where the count
+    covers valid points outside the per-frame extent budget (no silent
+    caps)."""
     coords, ok = voxel_coords(cloud.points, cloud.mask, voxel_size)
-    return downsample_by_coords(cloud, coords, ok, min_voxel_count, out_capacity)
+    return downsample_by_coords(
+        cloud, coords, ok, min_voxel_count, out_capacity, return_lost
+    )
 
 
 def downsample_by_coords(
@@ -125,7 +151,8 @@ def downsample_by_coords(
     ok: jax.Array,
     min_voxel_count: int = 1,
     out_capacity: Optional[int] = None,
-) -> PointCloud:
+    return_lost: bool = False,
+):
     """Shared sort/segment-reduce aggregation over integer bin coordinates
     (used by both the Cartesian voxel grid and the polar grid)."""
     N = cloud.capacity
@@ -141,6 +168,7 @@ def downsample_by_coords(
     cmin = jnp.min(masked, axis=0)
     rel = coords - cmin
     in_bound = ok & jnp.all((rel >= 0) & (rel < MAX_CELLS_PER_AXIS), axis=-1)
+    n_extent_lost = jnp.sum((ok & ~in_bound).astype(jnp.int32))
     key = (
         (rel[:, 0] * MAX_CELLS_PER_AXIS + rel[:, 1]) * MAX_CELLS_PER_AXIS + rel[:, 2]
     )
@@ -186,13 +214,16 @@ def downsample_by_coords(
     if n_int:
         intens = _segment_median(cols[-1], seg_id, w, counts, out_cap)
 
-    return PointCloud(
+    out = PointCloud(
         points=centroid,
         mask=voxel_ok,
         rgb=rgb,
         intensities=intens,
         timestamp_offsets=ts,
     )
+    if return_lost:
+        return out, n_extent_lost
+    return out
 
 
 def _segment_median(values: jax.Array, seg_id: jax.Array, w: jax.Array, counts, num_segments: int):

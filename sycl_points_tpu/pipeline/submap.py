@@ -70,6 +70,11 @@ class Submap:
         self.submap_cloud: Optional[PointCloud] = None
         self.submap_knn: Optional[BruteForceKNN] = None
         self.last_keyframe_cloud: Optional[PointCloud] = None
+        # Telemetry (no silent caps): in-range voxels that did not fit the
+        # extract capacity on the latest insert, and cumulative fixed-budget
+        # losses (not growth-fixable, see mapping backends).
+        self.extract_overflow = 0
+        self.budget_lost = 0
 
         reg_type = params.registration.factor.reg_type
         self._need_covs = (
@@ -90,55 +95,53 @@ class Submap:
                 cl, sp_.point_random_sampling_num, w, key, sp_.weighted_sampling_ratio
             )
         )
-        self._first_target = jax.jit(
-            lambda cl, pose: transform_cloud(
-                compact_device(cl, out_capacity=sp_.extract_capacity), pose
-            )
-        )
-        k_ = params.covariance_estimation.neighbor_num
+        # First-frame target is normalized to the same attribute structure as
+        # later map extractions (points + mask only, before finalize): a
+        # structure change between frame 1 and 2 would retrace the cached
+        # align program.
+        def _first(cl, pose):
+            c = transform_cloud(compact_device(cl, out_capacity=sp_.extract_capacity), pose)
+            return PointCloud(points=c.points, mask=c.mask)
 
-        def _finalize(cloud):
-            knn = approx_knn(cloud.points, cloud.mask, cloud.points, k_)
-            covs = cloud.covs if cloud.covs is not None else estimate_covariances(cloud.points, knn)
-            normals = cloud.normals
-            if self._need_normals and normals is None:
-                normals = extract_normals(cloud.points, covs)
-            return cloud.replace(covs=covs, normals=normals)
-
-        self._finalize_jit = jax.jit(_finalize)
+        self._first_target = jax.jit(_first)
+        self._finalize_jit = jax.jit(self.finalize_traced)
 
     # ------------------------------------------------------------------
     def _rebuild_insert_extract(self):
-        """(Re)build the jitted insert+extract closure for the CURRENT map
-        config — called at init and after every capacity growth.  The fused
-        call also returns the post-insert load factor so the host growth
-        policy needs no extra device round trip."""
+        """(Re)build the insert+extract closure for the CURRENT map config —
+        called at init and after every capacity growth.  The fused call also
+        returns the post-insert load factor so the host growth policy needs
+        no extra device round trip.  ``insert_extract_fn`` is the raw
+        traceable function (embedded in the fused per-frame program by
+        LidarOdometry); ``version`` lets dependents notice growth re-jits.
+        """
         sp_ = self.params.submap
         if self.is_occupancy:
             cfg = self.og_config
-            self._insert_extract = jax.jit(
-                lambda st, cl, pose: (
-                    (ns := og.add_point_cloud(st, cfg, cl, pose)),
-                    og.extract_occupied_points(
-                        ns, cfg, pose[:3, 3],
-                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
-                    ),
-                    og.load_factor(ns, cfg),
+
+            def _ie(st, cl, pose):
+                ns = og.add_point_cloud(st, cfg, cl, pose)
+                extracted, overflow = og.extract_occupied_points(
+                    ns, cfg, pose[:3, 3],
+                    sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                    with_overflow=True,
                 )
-            )
+                return ns, extracted, og.load_factor(ns, cfg), overflow
         else:
             cfg = self.vhm_config
-            self._insert_extract = jax.jit(
-                lambda st, cl, pose: (
-                    (ns := vhm.add_point_cloud(st, cfg, cl, pose)),
-                    vhm.extract(
-                        ns, cfg, pose[:3, 3],
-                        sp_.max_distance_range, out_capacity=sp_.extract_capacity,
-                        with_covs=False,
-                    ),
-                    vhm.load_factor(ns, cfg),
+
+            def _ie(st, cl, pose):
+                ns = vhm.add_point_cloud(st, cfg, cl, pose)
+                extracted, overflow = vhm.extract(
+                    ns, cfg, pose[:3, 3],
+                    sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                    with_covs=False, with_overflow=True,
                 )
-            )
+                return ns, extracted, vhm.load_factor(ns, cfg), overflow
+
+        self.insert_extract_fn = _ie
+        self._insert_extract = jax.jit(_ie)
+        self.version = getattr(self, "version", 0) + 1
 
     def _grow_map(self):
         """Double the map capacity in place (reference rehash policy,
@@ -214,18 +217,31 @@ class Submap:
         pose_j = jnp.asarray(pose, dtype=jnp.float32)
 
         # Insert with the reference growth policy: retry the SAME insert on a
-        # doubled table if any contribution was dropped on probe exhaustion
+        # doubled table if any contribution was dropped on PROBE EXHAUSTION
         # (pre-insert state is kept, so nothing is lost), then grow
         # proactively when post-insert load exceeds 0.7
-        # (voxel_hash_map.hpp:121-124, 847-934).
-        for _ in range(8):
-            new_state, extracted, load = self._insert_extract(
+        # (voxel_hash_map.hpp:121-124, 847-934).  Fixed-budget losses
+        # (``budget_lost``: miss-merge budget, extent/coordinate range) do
+        # NOT trigger growth — they recur at any capacity and are surfaced
+        # as telemetry instead.  The loop structure keeps state and compiled
+        # config in lockstep: growth mutates ``self.map_state`` (pre-insert,
+        # rehashed) together with the config and re-jits, and the insert is
+        # always re-run afterwards — the final committed ``new_state`` came
+        # from a table whose capacity matches the current config.
+        max_grow = 8
+        for attempt in range(max_grow + 1):
+            new_state, extracted, load, extract_overflow = self._insert_extract(
                 self.map_state, sampled, pose_j
             )
-            if int(new_state.dropped) == int(self.map_state.dropped):
+            if (
+                int(new_state.dropped) == int(self.map_state.dropped)
+                or attempt == max_grow
+            ):
                 break
             self._grow_map()
         self.map_state = new_state
+        self.extract_overflow = int(extract_overflow)
+        self.budget_lost = int(new_state.budget_lost)
         if float(load) > 0.7:
             self._grow_map()
 
@@ -246,6 +262,18 @@ class Submap:
                 self.params.registration.factor.max_correspondence_distance
             ),
         )
+
+    def finalize_traced(self, cloud: PointCloud) -> PointCloud:
+        """Traceable target finalize: neighborhood covariances (+ normals as
+        the registration type requires).  Embedded in the fused per-frame
+        program by LidarOdometry; jitted standalone for the legacy path."""
+        k_ = self.params.covariance_estimation.neighbor_num
+        knn = approx_knn(cloud.points, cloud.mask, cloud.points, k_)
+        covs = cloud.covs if cloud.covs is not None else estimate_covariances(cloud.points, knn)
+        normals = cloud.normals
+        if self._need_normals and normals is None:
+            normals = extract_normals(cloud.points, covs)
+        return cloud.replace(covs=covs, normals=normals)
 
     def _finalize_target(self, cloud: PointCloud) -> PointCloud:
         if not (self._need_covs or self._need_normals):

@@ -1,0 +1,206 @@
+"""Round-3 correctness fixes: growth-policy drop accounting, extraction
+overflow handling, extent-budget counters, carve-set equivalence of the
+closed-form DDA, and approx-KNN NaN hygiene.
+
+Covers the advisor findings on Submap growth (futile growth on
+budget-capped losses; state/config capacity lockstep) and the judge's
+"no silent caps" items (extract overflow, out-of-extent voxel keys).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sycl_points_tpu.mapping import occupancy_grid as og
+from sycl_points_tpu.mapping import voxel_hash_map as vhm
+from sycl_points_tpu.mapping.hash_table import compact_indices_ranked
+from sycl_points_tpu.ops.knn import approx_knn
+from sycl_points_tpu.ops.voxel import MAX_CELLS_PER_AXIS, voxel_downsample
+from sycl_points_tpu.points.point_cloud import PointCloud
+
+
+def cloud_of(pts, capacity=None):
+    return PointCloud.from_numpy(np.asarray(pts, np.float32), capacity=capacity)
+
+
+# ---------------------------------------------------------------------------
+# closed-form carve DDA == legacy sorted-merge DDA
+# ---------------------------------------------------------------------------
+
+def _legacy_carve_set(origin, targets, valid, voxel_size, budget):
+    coords, emit, _, _, _ = og._dda_ray_coords(
+        jnp.asarray(origin), jnp.asarray(targets), jnp.asarray(valid),
+        voxel_size, budget,
+    )
+    c = np.asarray(coords).reshape(-1, 3)
+    e = np.asarray(emit).reshape(-1)
+    return {tuple(row) for row in c[e]}
+
+
+def _new_carve_set(origin, targets, valid, voxel_size, axis_budget, max_len):
+    keys, _, _, base, B, _, _, _ = og._ray_carve_keys(
+        jnp.asarray(origin), jnp.asarray(targets), jnp.asarray(valid),
+        voxel_size, axis_budget, max_len,
+    )
+    k = np.asarray(keys).reshape(-1)
+    k = k[k != 2**31 - 1]
+    base = np.asarray(base)
+    out = set()
+    for key in k:
+        rz = key % B
+        ry = (key // B) % B
+        rx = key // (B * B)
+        out.add((int(rx + base[0]), int(ry + base[1]), int(rz + base[2])))
+    return out
+
+
+def test_carve_sets_match_legacy_dda():
+    rng = np.random.default_rng(7)
+    origin = rng.uniform(-3, 3, size=3).astype(np.float32)
+    targets = rng.uniform(-20, 20, size=(64, 3)).astype(np.float32)
+    valid = np.ones(64, bool)
+    voxel = 0.5
+    cfg = og.OccupancyGridConfig(voxel_size=voxel, max_ray_distance=50.0)
+    legacy = _legacy_carve_set(origin, targets, valid, voxel, cfg.ray_step_budget)
+    new = _new_carve_set(origin, targets, valid, voxel, cfg.ray_axis_budget, 50.0)
+    assert new == legacy
+
+
+def test_carve_clamps_to_max_ray_distance():
+    origin = np.zeros(3, np.float32)
+    targets = np.array([[30.0, 0.2, 0.2]], np.float32)
+    new = _new_carve_set(origin, targets, np.ones(1, bool), 1.0, 12, 10.0)
+    xs = [c[0] - (1 << 20) for c in new]
+    assert max(xs) <= 10  # nothing carved beyond the 10 m clamp
+    assert min(xs) >= 1  # origin voxel excluded
+
+    cfg = og.OccupancyGridConfig(voxel_size=1.0, capacity=1 << 10,
+                                 max_ray_distance=10.0,
+                                 voxel_pruning_enabled=False)
+    st = og.create(cfg)
+    st = og.add_point_cloud(st, cfg, cloud_of([[30.0, 0.2, 0.2]]), jnp.eye(4))
+    assert int(st.clamped_rays) == 1
+    assert int(st.truncated_rays) == 0
+    # hit still registered at the full 30 m range
+    assert float(og.voxel_probability(st, cfg, jnp.asarray([30.0, 0.2, 0.2]))) > 0.5
+    # carved up to the clamp, unknown beyond it
+    assert float(og.voxel_probability(st, cfg, jnp.asarray([5.5, 0.2, 0.2]))) < 0.5
+    assert float(og.voxel_probability(st, cfg, jnp.asarray([20.5, 0.2, 0.2]))) == 0.5
+
+
+# ---------------------------------------------------------------------------
+# extraction overflow: counted + nearest-first retention
+# ---------------------------------------------------------------------------
+
+def test_compact_indices_ranked_overflow_keeps_nearest():
+    keep = jnp.asarray(np.array([1, 1, 0, 1, 1, 1], bool))
+    rank = jnp.asarray(np.array([5.0, 1.0, 0.0, 4.0, 2.0, 3.0], np.float32))
+    idx, mask, n_over = compact_indices_ranked(keep, rank, 3)
+    assert int(n_over) == 2
+    assert bool(mask.all())
+    assert set(np.asarray(idx).tolist()) == {1, 4, 5}  # three smallest ranks
+
+    # no overflow -> slot order, zero count
+    idx2, mask2, n0 = compact_indices_ranked(keep, rank, 8)
+    assert int(n0) == 0
+    assert np.asarray(idx2)[np.asarray(mask2)].tolist() == [0, 1, 3, 4, 5]
+
+
+def test_vhm_extract_overflow_counts_and_keeps_nearest():
+    cfg = vhm.VoxelHashMapConfig(voxel_size=1.0, capacity=1 << 10)
+    st = vhm.create(cfg)
+    xs = np.arange(20, dtype=np.float32)
+    pts = np.stack([xs + 0.5, np.zeros(20), np.zeros(20)], axis=1)
+    st = vhm.add_point_cloud(st, cfg, cloud_of(pts), jnp.eye(4))
+    out, n_over = vhm.extract(
+        st, cfg, jnp.zeros(3), 100.0, out_capacity=8, with_covs=False,
+        with_overflow=True,
+    )
+    assert int(n_over) == 12
+    got = np.sort(out.to_numpy()["points"][:, 0])
+    np.testing.assert_allclose(got, xs[:8] + 0.5, atol=1e-5)  # nearest 8
+
+
+def test_og_extract_overflow_counts():
+    cfg = og.OccupancyGridConfig(voxel_size=1.0, capacity=1 << 10,
+                                 free_space_updates_enabled=False)
+    st = og.create(cfg)
+    pts = np.stack([np.arange(10) + 0.5, np.zeros(10), np.zeros(10)], 1).astype(np.float32)
+    st = og.add_point_cloud(st, cfg, cloud_of(pts), jnp.eye(4))
+    out, n_over = og.extract_occupied_points(
+        st, cfg, jnp.zeros(3), 100.0, out_capacity=4, with_overflow=True
+    )
+    assert int(n_over) == 6
+    got = np.sort(out.to_numpy()["points"][:, 0])
+    np.testing.assert_allclose(got, np.arange(4) + 0.5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# budget_lost vs dropped separation (advisor high #1)
+# ---------------------------------------------------------------------------
+
+def test_vhm_extent_losses_counted_not_dropped():
+    cfg = vhm.VoxelHashMapConfig(voxel_size=1.0, capacity=1 << 10)
+    st = vhm.create(cfg)
+    far = float(MAX_CELLS_PER_AXIS) + 10.0
+    pts = np.array([[0.5, 0.5, 0.5], [far, 0.5, 0.5]], np.float32)
+    st = vhm.add_point_cloud(st, cfg, cloud_of(pts), jnp.eye(4))
+    assert int(st.dropped) == 0  # growth policy must NOT retry this
+    assert int(st.budget_lost) == 1
+    assert int(vhm.voxel_count(st)) == 1
+
+
+def test_og_miss_budget_losses_counted_not_dropped():
+    cfg = og.OccupancyGridConfig(
+        voxel_size=0.25, capacity=1 << 10, miss_budget=8,
+        max_ray_distance=50.0, voxel_pruning_enabled=False,
+    )
+    st = og.create(cfg)
+    pts = np.array([[40.0, 1.0, 0.5], [35.0, -3.0, 0.8]], np.float32)
+    st = og.add_point_cloud(st, cfg, cloud_of(pts), jnp.eye(4))
+    # >8 unique carve voxels: the overflow is a fixed-budget loss
+    assert int(st.budget_lost) > 0
+    assert int(st.dropped) == 0
+
+
+def test_vhm_auto_growth_ignores_budget_losses():
+    """The advisor scenario: budget-capped losses recur at any capacity and
+    must not trigger doubling."""
+    cfg = vhm.VoxelHashMapConfig(voxel_size=1.0, capacity=256)
+    st = vhm.create(cfg)
+    far = float(MAX_CELLS_PER_AXIS) + 10.0
+    pts = np.array([[0.5, 0.5, 0.5], [far, 0.5, 0.5]], np.float32)
+    st2, cfg2 = vhm.add_point_cloud_auto(st, cfg, cloud_of(pts), jnp.eye(4))
+    assert cfg2.capacity == 256  # no futile growth
+    assert int(st2.budget_lost) == 1
+
+
+# ---------------------------------------------------------------------------
+# voxel downsample extent counter
+# ---------------------------------------------------------------------------
+
+def test_voxel_downsample_reports_extent_losses():
+    far = float(MAX_CELLS_PER_AXIS) * 0.5 + 100.0  # voxel 0.5 -> beyond budget
+    pts = np.array([[0.1, 0.1, 0.1], [far, 0.1, 0.1]], np.float32)
+    out, n_lost = voxel_downsample(cloud_of(pts), 0.5, return_lost=True)
+    assert int(n_lost) == 1
+    assert int(out.count()) == 1
+
+
+# ---------------------------------------------------------------------------
+# approx_knn NaN hygiene (advisor low: masked rows may hold NaN)
+# ---------------------------------------------------------------------------
+
+def test_approx_knn_ignores_nan_in_masked_rows():
+    rng = np.random.default_rng(3)
+    tgt = rng.uniform(-1, 1, size=(64, 3)).astype(np.float32)
+    tgt[7] = np.nan  # stale masked-out row
+    mask = np.ones(64, bool)
+    mask[7] = False
+    q = rng.uniform(-1, 1, size=(16, 3)).astype(np.float32)
+    res = approx_knn(jnp.asarray(tgt), jnp.asarray(mask), jnp.asarray(q), 4)
+    idx = np.asarray(res.indices)
+    d = np.asarray(res.distances)
+    assert np.all(idx != 7)
+    assert np.all(np.isfinite(d))
