@@ -1,6 +1,7 @@
-"""Secondary benchmark suite: BASELINE.json configs 1, 2, 4, 5.
+"""Secondary benchmark suite: BASELINE.json configs 1-8.
 
-(Config 3 — robust GICP on the bundled pair — is the headline `bench.py`.)
+(The headline `bench.py` times the full annealed robust-GICP pair; config 3
+here sweeps the individual robust losses.)
 
 All timings use the marginal in-program repetition protocol (run the body n
 times inside one fori_loop, dt = (t(n1) - t(n0)) / (n1 - n0)), the only
@@ -201,6 +202,35 @@ def config2_preprocess_suite(src, cap):
     return out
 
 
+def config3_robust_losses(src, tgt, cap):
+    """Config 3 (BASELINE.md): GICP with each robust estimator on the
+    bundled pair — the robust-loss axis the reference dispatches at compile
+    time (registration.hpp:372-405, robust/robust.hpp:56-114).  Times the
+    align loop per loss on prepped features (preprocess timed by config 2)."""
+    g_src = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(src))
+    g_tgt = jax.block_until_ready(jax.jit(lambda c: preprocess(c, cap))(tgt))
+    knn = BruteForceKNN.build(g_tgt)
+
+    out = {"config": "3-robust-losses"}
+    for loss in (RobustLossType.NONE, RobustLossType.HUBER, RobustLossType.TUKEY,
+                 RobustLossType.CAUCHY, RobustLossType.GEMAN_MCCLURE):
+        params = RegistrationParams(
+            reg_type=RegType.GICP,
+            robust=RobustParams(type=loss, default_scale=2.5),
+            optimization_method="gauss_newton",
+            max_iterations=20,
+        )
+
+        def body(i, acc, params=params):
+            s = g_src.replace(points=g_src.points + 1e-12 * acc)
+            res = align(s, g_tgt, knn, params)
+            return acc + res.error
+
+        out[f"align_ms_{loss.value}"] = round(marginal_ms(body), 3)
+        log(f"  config3 {loss.value}: {out[f'align_ms_{loss.value}']} ms")
+    return out
+
+
 def config4_genz_vicp(src, tgt, cap):
     """Config 4: GenZ-ICP + VICP (constant-velocity deskew interleaved with
     alignment) + LogDet rotation constraint, on a timestamped source."""
@@ -363,7 +393,9 @@ def config7_mapping_ops(src, tgt, cap):
 
     out["og_extract_ms"] = round(marginal_ms(b_og_extract), 3)
     out["truncated_rays"] = int(ostate.truncated_rays)
+    out["og_clamped_rays"] = int(ostate.clamped_rays)
     out["og_dropped"] = int(ostate.dropped)
+    out["og_budget_lost"] = int(ostate.budget_lost)
     out["og_voxels"] = int(np.asarray(og.voxel_count(ostate)))
     return out
 
@@ -501,6 +533,7 @@ def main():
     for num, fn, a in (
         ("1", config1_point_to_point, (src, tgt, cap)),
         ("2", config2_preprocess_suite, (src, cap)),
+        ("3", config3_robust_losses, (src, tgt, cap)),
         ("4", config4_genz_vicp, (src, tgt, cap)),
         ("5", config5_odometry_step, (src, tgt, cap)),
         ("6", config6_lio_step, (src, tgt, cap)),

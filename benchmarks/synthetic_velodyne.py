@@ -127,6 +127,38 @@ def scan_at(world: World, T: np.ndarray, n_az=2048, n_rings=64,
     return pts
 
 
+def figure8_imu(t: float, radius=18.0, speed=0.35, frame_dt=0.1,
+                gravity=(0.0, 0.0, -9.80665)):
+    """Analytic body-frame IMU measurement consistent with
+    :func:`figure8_trajectory` at continuous time ``t`` (frame ``i`` sits at
+    ``t = frame_dt * i``).
+
+    The trajectory is planar with yaw-only rotation, so:
+      * gyro  = R^T omega_world = [0, 0, yaw_dot] (z-rotation commutes)
+      * accel = R^T (a_world - g) (standard specific-force convention,
+        matching the repo preintegration: v' = v + g dt + R Delta_v).
+    Derivatives are closed-form — yaw_dot via the atan2 quotient rule, so no
+    branch-wrap spikes.  Returns ``(gyro[3], accel[3])`` float64.
+    """
+    s_dot = speed / (frame_dt * radius)
+    s = t * s_dot
+    # position derivatives: p = [r sin s, (r/2) sin 2s, 1.8]
+    x_dd = -radius * np.sin(s) * s_dot**2
+    y_dd = -2.0 * radius * np.sin(2 * s) * s_dot**2
+    a_world = np.array([x_dd, y_dd, 0.0])
+    # heading: yaw = atan2(cos 2s, cos s)
+    dx, dy = np.cos(s), np.cos(2 * s)
+    dx_d, dy_d = -np.sin(s) * s_dot, -2.0 * np.sin(2 * s) * s_dot
+    denom = max(dx * dx + dy * dy, 1e-12)
+    yaw_dot = (dy_d * dx - dx_d * dy) / denom
+    yaw = np.arctan2(dy, dx)
+    c, si = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -si, 0.0], [si, c, 0.0], [0.0, 0.0, 1.0]])
+    gyro = np.array([0.0, 0.0, yaw_dot])
+    accel = R.T @ (a_world - np.asarray(gravity))
+    return gyro, accel
+
+
 def figure8_trajectory(n_frames: int, radius=18.0, speed=0.35):
     """Sequence of SE(3) poses (sensor z up at 1.8 m) along a figure-8."""
     poses = []

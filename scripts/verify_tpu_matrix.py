@@ -61,16 +61,24 @@ def main():
     configs = []
     for reg in (RegType.POINT_TO_POINT, RegType.POINT_TO_PLANE,
                 RegType.POINT_TO_DISTRIBUTION, RegType.GICP, RegType.GENZ):
-        configs.append((f"{reg.value}/gauss_newton", reg, "gauss_newton"))
+        configs.append((f"{reg.value}/gauss_newton", reg, "gauss_newton",
+                        RobustLossType.GEMAN_MCCLURE))
     for opt in ("levenberg_marquardt", "powell_dogleg"):
-        configs.append((f"gicp/{opt}", RegType.GICP, opt))
+        configs.append((f"gicp/{opt}", RegType.GICP, opt,
+                        RobustLossType.GEMAN_MCCLURE))
+    # robust-loss axis on chip (reference compile-time dispatch,
+    # registration.hpp:372-405 x robust/robust.hpp:56-114)
+    for loss in (RobustLossType.NONE, RobustLossType.HUBER,
+                 RobustLossType.TUKEY, RobustLossType.CAUCHY):
+        configs.append((f"gicp/gauss_newton/{loss.value}", RegType.GICP,
+                        "gauss_newton", loss))
 
     tol_cm = {"point_to_point/gauss_newton": 12.0}  # p2p on sparse voxels is coarser
     failures = []
-    for name, reg, opt in configs:
+    for name, reg, opt, loss in configs:
         params = RegistrationParams(
             reg_type=reg,
-            robust=RobustParams(type=RobustLossType.GEMAN_MCCLURE, default_scale=2.5),
+            robust=RobustParams(type=loss, default_scale=2.5),
             optimization_method=opt,
             max_iterations=30,
         )

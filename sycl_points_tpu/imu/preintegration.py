@@ -333,6 +333,11 @@ def steps_from_window(window: Sequence[IMUMeasurement]):
     return dt, gyro[:-1], gyro[1:], accel[:-1], accel[1:], valid
 
 
+# Cached executable per (params, padded window bucket); params is a frozen
+# (hashable) dataclass, so it can be a static argument.
+_integrate_steps_jit = jax.jit(integrate_steps, static_argnums=0)
+
+
 class IMUPreintegration:
     """Streaming wrapper mirroring the reference class API
     (imu_preintegration.hpp:180-339)."""
@@ -374,7 +379,20 @@ class IMUPreintegration:
                 None if self._init_cov is None else jnp.asarray(self._init_cov, jnp.float32)
             )
             dt, w0, w1, a0, a1, valid = steps_from_window(self._measurements)
-            self._state = integrate_steps(
+            # Pad the step arrays to a power-of-two bucket so the scan
+            # executable is cached per bucket instead of re-traced (and, for
+            # the eager path, re-COMPILED) for every distinct window length
+            # — real IMU windows jitter by a step or two every frame.
+            S = len(dt)
+            Sp = max(32, 1 << (max(S, 1) - 1).bit_length())
+            if Sp != S:
+                pad = Sp - S
+                dt = np.concatenate([dt, np.zeros(pad, np.float32)])
+                z = np.zeros((pad, 3), np.float32)
+                w0, w1 = np.concatenate([w0, z]), np.concatenate([w1, z])
+                a0, a1 = np.concatenate([a0, z]), np.concatenate([a1, z])
+                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            self._state = _integrate_steps_jit(
                 self.params, st,
                 jnp.asarray(dt), jnp.asarray(w0), jnp.asarray(w1),
                 jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(valid),

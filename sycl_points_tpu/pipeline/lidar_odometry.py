@@ -6,14 +6,23 @@ covariances, refine, first-frame bootstrap, IMU window integration, motion
 prediction, MAP-prior registration, submapping, velocity/odometry update),
 per-stage wall-clock timing, and the frame ResultType codes.
 
-Host orchestration around jitted device stages; all hot compute (prefilter,
-covariances, the whole robust-annealed ICP loop, map insertion/extraction)
-runs as cached XLA executables.
+ONE device->host sync per frame: the registration (align while-loop, MAP
+prior, keyframe decision) and the submap update (robust-weighted sampling,
+map insert, extraction, covariance finalize) run as TWO chained async
+device programs — split so map-capacity growth re-jits only the small
+submap program — and every scalar the host needs (pose, counts, keyframe
+flag, load factor, drop/overflow telemetry, the raw Hessian for the next
+frame's motion prediction) travels in a single fused stats fetch.  The
+reference pays nothing comparable because its host loop shares memory with
+the device (pipeline/lidar_odometry.hpp:115-298); on a PCIe/tunnel link
+every separate readback is a round trip, so the sync budget is the wall
+clock.
 """
 
 from __future__ import annotations
 
 import enum
+import math
 import time
 from collections import defaultdict, deque
 from typing import Dict, Optional
@@ -30,15 +39,21 @@ from sycl_points_tpu.imu.preintegration import (
     build_measurement_window,
 )
 from sycl_points_tpu.imu.velocity_corrector import IMUVelocityCorrector
+from sycl_points_tpu.ops.knn import BruteForceKNN
+from sycl_points_tpu.ops.sampling import mixed_sampling, random_sampling
 from sycl_points_tpu.pipeline.motion_predictor import MotionPredictor
 from sycl_points_tpu.pipeline.params import LidarOdometryParams
 from sycl_points_tpu.pipeline.pc_processor import PCProcessor
 from sycl_points_tpu.pipeline.submap import Submap
 from sycl_points_tpu.points.point_cloud import PointCloud
-from sycl_points_tpu.registration.map_prior import MapPriorParams, inactive_prior, update as map_prior_update
-from sycl_points_tpu.registration.pipeline import align_pipeline, inlier_ratio
+from sycl_points_tpu.registration.map_prior import (
+    MapPriorParams,
+    inactive_prior,
+    update as map_prior_update,
+)
+from sycl_points_tpu.registration.pipeline import align_pipeline
 from sycl_points_tpu.registration.registration import compute_icp_robust_weights
-from sycl_points_tpu.utils import lie_np
+from sycl_points_tpu.utils import lie, lie_np
 
 
 class ResultType(enum.Enum):
@@ -50,6 +65,10 @@ class ResultType(enum.Enum):
     small_number_of_points = "small_number_of_points"
 
 
+# stats vector layout (see _build_reg_step/_build_submap_step)
+_S1 = 62  # T(16) + 9 scalars + H_raw(36) + error_raw(1)
+
+
 class LidarOdometry:
     def __init__(self, params: LidarOdometryParams = LidarOdometryParams(),
                  map_prior_params: MapPriorParams = MapPriorParams()):
@@ -59,37 +78,12 @@ class LidarOdometry:
         self.submap = Submap(params)
         self.motion_predictor = MotionPredictor(params.motion_prediction)
         self.pipeline_params = params.make_registration_pipeline_params()
-        # Jitted ONCE (params bound as a closure constant): calling
-        # align_pipeline eagerly would retrace + recompile its align
-        # while_loop every frame (~15 s/frame measured on the replay bench).
-        self._align_pipeline_jit = jax.jit(
-            lambda source, target, target_knn, **kw: align_pipeline(
-                source, target, target_knn, self.pipeline_params, **kw
-            )
-        )
-        self._icp_weights_jit = jax.jit(
-            lambda src, tgt, knn, pose, scale: compute_icp_robust_weights(
-                src, tgt, knn, pose, self.params.registration.factor, scale
-            )
-        )
+        self._use_pallas = jax.default_backend() in ("tpu", "axon")
+
         self._deskew_jit = jax.jit(deskew_constant_velocity)
-        # One fused post-registration readback: every device->host sync costs
-        # a full link round trip (~30 ms on the axon tunnel), so the pose,
-        # inlier count and cloud counts travel in a single fetch.
-        self._frame_stats_jit = jax.jit(
-            lambda T, inlier, deskewed, reg_input: jnp.concatenate(
-                [
-                    T.ravel(),
-                    jnp.stack(
-                        [
-                            inlier.astype(jnp.float32),
-                            deskewed.count().astype(jnp.float32),
-                            reg_input.count().astype(jnp.float32),
-                        ]
-                    ),
-                ]
-            )
-        )
+        self._stats_cat_jit = jax.jit(lambda a, b: jnp.concatenate([a, b]))
+        self._build_reg_step()
+        self._fused_version = -1  # forces _build_submap_step on first use
 
         self.odom = params.pose.initial_matrix()
         self.prev_odom = self.odom.copy()
@@ -104,6 +98,12 @@ class LidarOdometry:
         self.error_message = ""
         self.processing_times: Dict[str, float] = defaultdict(float)
         self.frame_count = 0
+        self.sync_count_last_frame = 0
+        # host mirrors of the previous frame's fused stats (motion predictor
+        # inputs — no device readback needed)
+        self._prev_Hraw_np: Optional[np.ndarray] = None
+        self._prev_inlier = 0
+        self._dropped_seen = 0
 
         # IMU machinery
         self.imu_buffer: deque = deque()
@@ -126,10 +126,177 @@ class LidarOdometry:
             if params.imu.enable and params.imu.initial_alignment.enable
             else None
         )
-        self._map_prior_state = inactive_prior()
 
         self._scan_start_time_sec = 0.0
         self._scan_duration_sec = 0.0
+
+    # -- fused per-frame programs -------------------------------------------
+    def _build_reg_step(self):
+        """Program A (jitted ONCE): min-points gate, MAP prior, the whole
+        align pipeline, keyframe decision, and the first stats half.  The
+        gate and keyframe policy mirror lidar_odometry.hpp:208/599-621 and
+        submapping.hpp:99-121 but run on device so the host needs no
+        intermediate readbacks."""
+        p = self.params
+        kfp = p.submap.keyframe
+        min_pts = p.registration.min_num_points
+        is_occ = self.submap.is_occupancy
+        prior_enabled = self.map_prior_params.enabled
+
+        def _reg_step(pre, submap, knn, init_T, prev_odom, dt_s,
+                      prev_T, prev_Hraw, prev_err_raw, prev_inlier, registrated,
+                      last_kf_pose, kf_dt_exceeded):
+            n_pre = pre.count()
+            small = n_pre <= min_pts
+
+            prior = None
+            if prior_enabled:
+                prior = map_prior_update(
+                    self.map_prior_params, prev_T, prev_Hraw, prev_err_raw,
+                    prev_inlier, init_T,
+                )
+                prior = prior._replace(active=prior.active & registrated)
+
+            out = align_pipeline(
+                pre, submap, knn, self.pipeline_params,
+                initial_guess=init_T, prev_pose=prev_odom, dt=dt_s,
+                map_prior=prior,
+            )
+            result = out.result
+            # a too-small frame must not move the odometry
+            T_eff = jnp.where(small, prev_odom, result.T)
+
+            n_reg = out.registration_input.count()
+            n_desk = out.deskewed.count()
+            ratio = result.inlier.astype(jnp.float32) / jnp.maximum(
+                n_reg, 1
+            ).astype(jnp.float32)
+            if kfp.inlier_ratio_threshold > 0.0:
+                inlier_ok = ratio > kfp.inlier_ratio_threshold
+            else:
+                inlier_ok = jnp.bool_(True)
+            if is_occ:  # occupancy backend inserts every frame
+                geom_kf = jnp.bool_(True)
+            else:
+                delta = lie.transform_inverse(last_kf_pose) @ T_eff
+                tw = lie.se3_log(delta)
+                dist = jnp.linalg.norm(delta[:3, 3])
+                angle_deg = jnp.linalg.norm(tw[:3]) * (180.0 / math.pi)
+                geom_kf = (
+                    (dist >= kfp.distance_threshold)
+                    | (angle_deg >= kfp.angle_threshold_degrees)
+                    | kf_dt_exceeded
+                )
+            is_kf = (~small) & inlier_ok & geom_kf
+
+            f32 = lambda x: jnp.asarray(x, jnp.float32)
+            stats1 = jnp.concatenate([
+                T_eff.ravel(),  # 0:16
+                jnp.stack([
+                    f32(result.inlier), f32(n_pre), f32(n_reg), f32(n_desk),
+                    f32(is_kf), f32(small), f32(result.converged),
+                    f32(result.iterations), f32(result.error),
+                ]),  # 16:25
+                result.H_raw.ravel(),  # 25:61
+                f32(result.error_raw)[None],  # 61
+            ])
+            return result, out.deskewed, T_eff, is_kf, stats1
+
+        self._reg_step_jit = jax.jit(_reg_step)
+
+    def _build_submap_step(self):
+        """Program B (re-jitted after every map-capacity growth): keyframe
+        submap update under ``lax.cond`` — robust-weighted sampling
+        (submapping.hpp:163-247), map insert + in-range extraction, target
+        covariance finalize — plus the second stats half (load factor and
+        drop/overflow telemetry)."""
+        p = self.params
+        sp = p.submap
+        min_pts = p.registration.min_num_points
+        num = sp.point_random_sampling_num
+        ie = self.submap.insert_extract_fn
+        finalize = self.submap.finalize_traced
+        need_finalize = self.submap._need_covs or self.submap._need_normals
+        use_pallas = self._use_pallas
+        robust_scale = (
+            self.pipeline_params.robust.min_scale
+            if self.pipeline_params.robust.auto_scale
+            else p.registration.factor.robust.default_scale
+        )
+        if self.submap.is_occupancy:
+            from sycl_points_tpu.mapping import occupancy_grid as _m
+            cfg = self.submap.og_config
+        else:
+            from sycl_points_tpu.mapping import voxel_hash_map as _m
+            cfg = self.submap.vhm_config
+
+        def _zeros_sampled(deskewed):
+            # the samplers return the cloud unchanged when num >= capacity,
+            # so the structural dummy must match that shape
+            cap = num if num < deskewed.capacity else deskewed.capacity
+
+            def z(a):
+                return None if a is None else jnp.zeros((cap,) + a.shape[1:], a.dtype)
+            return PointCloud(
+                points=jnp.zeros((cap, 3), jnp.float32),
+                mask=jnp.zeros((cap,), bool),
+                covs=z(deskewed.covs), normals=z(deskewed.normals),
+                rgb=z(deskewed.rgb), intensities=z(deskewed.intensities),
+                timestamp_offsets=z(deskewed.timestamp_offsets),
+            )
+
+        def _submap_step(map_state, submap_prev, deskewed, T_eff, is_kf, key):
+            f32 = lambda x: jnp.asarray(x, jnp.float32)
+
+            def do_update(_):
+                n_desk = deskewed.count()
+                knn_prev = BruteForceKNN(
+                    points=submap_prev.points, mask=submap_prev.mask,
+                    use_pallas=use_pallas,
+                )
+
+                def with_weights(k):
+                    w = compute_icp_robust_weights(
+                        deskewed, submap_prev, knn_prev, T_eff,
+                        p.registration.factor, jnp.float32(robust_scale),
+                    )
+                    return mixed_sampling(
+                        deskewed, num, w, k, sp.weighted_sampling_ratio
+                    )
+
+                def without_weights(k):
+                    return random_sampling(deskewed, num, k)
+
+                sampled = jax.lax.cond(
+                    n_desk > num, with_weights, without_weights, key
+                )
+                new_state, extracted, load, overflow = ie(map_state, sampled, T_eff)
+                ext_ok = extracted.count() >= min_pts
+                target = PointCloud(
+                    points=jnp.where(ext_ok, extracted.points, submap_prev.points),
+                    mask=jnp.where(ext_ok, extracted.mask, submap_prev.mask),
+                )
+                if need_finalize:
+                    target = finalize(target)
+                stats2 = jnp.stack([
+                    f32(load), f32(overflow), f32(ext_ok),
+                    f32(new_state.dropped), f32(new_state.budget_lost),
+                    f32(extracted.count()),
+                ])
+                return new_state, target, sampled, stats2
+
+            def no_update(_):
+                stats2 = jnp.stack([
+                    f32(_m.load_factor(map_state, cfg)), f32(0.0), f32(0.0),
+                    f32(map_state.dropped), f32(map_state.budget_lost),
+                    f32(0.0),
+                ])
+                return map_state, submap_prev, _zeros_sampled(deskewed), stats2
+
+            return jax.lax.cond(is_kf, do_update, no_update, None)
+
+        self._submap_step_jit = jax.jit(_submap_step)
+        self._fused_version = self.submap.version
 
     # -- IMU input (lidar_odometry.hpp:85-113) -------------------------------
     def add_imu_measurement(self, meas: IMUMeasurement):
@@ -181,8 +348,9 @@ class LidarOdometry:
         self._scan_start_time_sec = timestamp
         self._scan_duration_sec = scan_duration_sec
         self.processing_times.clear()
+        self.sync_count_last_frame = 0
 
-        # preprocess (hpp:496-502)
+        # preprocess (hpp:496-502) — async dispatches, no readback
         t0 = time.perf_counter()
         cloud = scan
         if self._imu_deskew_enabled():
@@ -205,13 +373,14 @@ class LidarOdometry:
         self.preprocessed = pre
         self.processing_times["1. preprocessing"] += time.perf_counter() - t0
 
-        if int(pre.count()) <= p.registration.min_num_points:
-            self.error_message = "point cloud size is too small"
-            return ResultType.small_number_of_points
-
         if self.is_first_frame:
+            # bootstrap (host path; the min-points gate pays its one sync here)
+            if int(pre.count()) <= p.registration.min_num_points:
+                self.error_message = "point cloud size is too small"
+                return ResultType.small_number_of_points
             t0 = time.perf_counter()
             self.submap.add_first_frame(pre, timestamp, self.odom)
+            self._dropped_seen = int(self.submap.map_state.dropped)
             self.processing_times["4. build submap"] += time.perf_counter() - t0
             self.is_first_frame = False
             self.last_frame_time = timestamp
@@ -239,54 +408,167 @@ class LidarOdometry:
             )
             self.imu_preintegration.integrate_batch(window)
 
-        # registration (hpp:544-597)
+        return self._process_fused(pre, timestamp)
+
+    # ------------------------------------------------------------------
+    def _process_fused(self, pre: PointCloud, timestamp: float) -> ResultType:
+        """Registration + submapping with ONE device->host sync."""
+        p = self.params
+
+        # ---- motion prediction (host math on the previous frame's stats) ---
         t0 = time.perf_counter()
-        result, reg_input, deskewed = self._registration()
-        self.reg_result = result
-        self.last_imu_reset_timestamp = timestamp
+        mode = p.motion_prediction.mode.upper()
+        has_imu_pred = (
+            self.imu_preintegration is not None
+            and self.imu_window_complete
+            and self.imu_preintegration.get_dt_total() > 0.0
+        )
+        gyro_delta = None
+        imu_pose = None
+        if has_imu_pred:
+            # device->host conversions on the preintegration deltas (IMU-on
+            # configurations only; counted in sync_count_last_frame)
+            delta_R_imu = np.asarray(
+                self.imu_preintegration.get_corrected(
+                    self.imu_bias_gyro, self.imu_bias_accel
+                ).Delta_R
+            )
+            self.sync_count_last_frame += 1
+            R_il = p.imu.T_imu_to_lidar_matrix()[:3, :3]
+            gyro_delta = R_il @ delta_R_imu @ R_il.T
+            if mode == "IMU_SE3":
+                imu_pose = self._imu_motion_prediction()
+
+        init_T = self.motion_predictor.predict(
+            self.linear_velocity, self.angular_velocity, self.odom, self.dt,
+            self._prev_Hraw_np, self._prev_inlier, self.registrated,
+            gyro_delta, imu_pose,
+        )
+
+        v_reset = np.zeros(3, np.float32)
+        if self.imu_preintegration is not None and mode == "IMU_SE3":
+            v_reset = self.imu_velocity_corrector.get_reset_velocity(
+                self.imu_preintegration, self.imu_bias_gyro, self.imu_bias_accel,
+                self.prev_odom[:3, :3] @ self.linear_velocity,
+            )
+
+        # ---- program A: registration + keyframe decision -------------------
+        if self.reg_result is not None:
+            prev_T = self.reg_result.T
+            prev_H = self.reg_result.H_raw
+            prev_er = self.reg_result.error_raw
+            prev_in = self.reg_result.inlier
+        else:
+            prev_T = jnp.eye(4, dtype=jnp.float32)
+            prev_H = jnp.zeros((6, 6), jnp.float32)
+            prev_er = jnp.float32(0.0)
+            prev_in = jnp.int32(0)
+        kfp = p.submap.keyframe
+        kf_dt_exceeded = (
+            self.submap.last_keyframe_time <= 0.0
+            or (timestamp - self.submap.last_keyframe_time)
+            >= kfp.time_threshold_seconds
+        )
+        result, deskewed, T_eff, is_kf, s1 = self._reg_step_jit(
+            pre, self.submap.submap_cloud, self.submap.submap_knn,
+            jnp.asarray(init_T, jnp.float32), jnp.asarray(self.odom, jnp.float32),
+            jnp.float32(self.dt),
+            prev_T, prev_H, prev_er, prev_in, jnp.bool_(self.registrated),
+            jnp.asarray(self.submap.last_keyframe_pose, jnp.float32),
+            jnp.bool_(kf_dt_exceeded),
+        )
         self.processing_times["3. registration"] += time.perf_counter() - t0
 
-        # submapping (hpp:599-621)
+        # ---- program B: submap update (re-jitted on growth) ----------------
         t0 = time.perf_counter()
-        stats = np.asarray(
-            self._frame_stats_jit(result.T, result.inlier, deskewed, reg_input)
+        if self._fused_version != self.submap.version:
+            self._build_submap_step()
+        self.submap._key, k1 = jax.random.split(self.submap._key)
+        prev_map_state = self.submap.map_state
+        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(
+            prev_map_state, self.submap.submap_cloud, deskewed, T_eff, is_kf, k1
         )
+
+        # ---- THE one fused device->host readback ---------------------------
+        stats = np.asarray(self._stats_cat_jit(s1, s2))
+        self.sync_count_last_frame += 1
+
         T_np = stats[:16].reshape(4, 4).astype(np.float32)
-        n_inlier, n_deskewed, n_reg_input = stats[16], stats[17], stats[18]
-        self._submapping(
-            result, T_np, int(n_deskewed), float(n_inlier) / max(int(n_reg_input), 1),
-            deskewed, timestamp,
+        (n_inlier, n_pre, n_reg, n_desk, kf_flag, small_flag,
+         converged, iterations, error) = stats[16:25]
+        H_raw_np = stats[25:61].reshape(6, 6).astype(np.float32)
+        load, overflow, ext_ok, dropped, budget_lost, n_extracted = stats[_S1:_S1 + 6]
+
+        if small_flag > 0.5:
+            self.error_message = "point cloud size is too small"
+            self.processing_times["4. build submap"] += time.perf_counter() - t0
+            return ResultType.small_number_of_points
+
+        # ---- commit host state --------------------------------------------
+        self.reg_result = result
+        self._prev_Hraw_np = H_raw_np
+        self._prev_inlier = int(n_inlier)
+        self.submap.map_state = new_map_state
+        self.submap.submap_cloud = new_submap
+        self.submap.submap_knn = BruteForceKNN(
+            points=new_submap.points, mask=new_submap.mask,
+            use_pallas=self._use_pallas,
         )
+        self.submap.extract_overflow = int(overflow)
+        self.submap.budget_lost = int(budget_lost)
+        if kf_flag > 0.5:
+            self.submap.last_keyframe_pose = T_np.copy()
+            self.submap.last_keyframe_time = timestamp
+            self.submap.keyframe_poses.append(self.submap.last_keyframe_pose)
+            self.submap.last_keyframe_cloud = sampled
+
+        # growth policy (rare host slow path; syncs only when it fires)
+        dropped_delta = int(dropped) - self._dropped_seen
+        if dropped_delta > 0:
+            self.submap.map_state = prev_map_state  # retry loses nothing
+            self.submap.retry_insert_after_drop(sampled, T_np)
+            self.sync_count_last_frame += 2
+        elif float(load) > 0.7:
+            self.submap._grow_map()
+        self._dropped_seen = int(self.submap.map_state.dropped)
         self.processing_times["4. build submap"] += time.perf_counter() - t0
 
         # full-resolution CV deskew for publishing (hpp:272-277)
-        if self.pipeline_params.velocity_update.enable and not self._imu_deskew_enabled():
-            if self.preprocessed.timestamp_offsets is not None:
-                self.preprocessed = self._deskew_jit(
-                    self.preprocessed,
-                    jnp.asarray(self.odom), jnp.asarray(result.T), jnp.float32(self.dt),
-                )
+        if (
+            self.pipeline_params.velocity_update.enable
+            and not self._imu_deskew_enabled()
+            and self.preprocessed.timestamp_offsets is not None
+        ):
+            self.preprocessed = self._deskew_jit(
+                self.preprocessed,
+                jnp.asarray(self.odom), jnp.asarray(T_np), jnp.float32(self.dt),
+            )
 
         # velocity/odometry update (hpp:280-296)
         self.prev_odom = self.odom.copy()
-        self.odom = T_np.copy()  # already fetched in the fused frame-stats sync
+        self.odom = T_np.copy()
         self.last_frame_time = timestamp
         delta = np.linalg.inv(self.prev_odom) @ self.odom
         tw = lie_np.se3_log(delta)
         self.linear_velocity = (delta[:3, 3] / self.dt).astype(np.float32)
         self.angular_velocity = (tw[:3] / self.dt).astype(np.float32)
 
-        if (
-            self.imu_preintegration is not None
-            and p.motion_prediction.mode.upper() == "IMU_SE3"
-        ):
+        if self.imu_preintegration is not None:
             T_il = p.imu.T_imu_to_lidar_matrix()
-            R_world_imu_prev = self.prev_odom[:3, :3] @ T_il[:3, :3]
-            self.imu_velocity_corrector.update(
-                self.odom[:3, 3] - self.prev_odom[:3, 3],
-                R_world_imu_prev,
-                np.asarray(p.imu.preintegration.gravity, np.float32),
+            self.imu_R_world_at_reset = T_np[:3, :3] @ T_il[:3, :3]
+            self.imu_v_world_at_reset = v_reset
+            self.imu_preintegration.reset(
+                self.imu_bias_gyro, self.imu_bias_accel,
+                R_world_body=self.imu_R_world_at_reset,
             )
+            self.last_imu_reset_timestamp = timestamp
+            if mode == "IMU_SE3":
+                R_world_imu_prev = self.prev_odom[:3, :3] @ T_il[:3, :3]
+                self.imu_velocity_corrector.update(
+                    self.odom[:3, 3] - self.prev_odom[:3, 3],
+                    R_world_imu_prev,
+                    np.asarray(p.imu.preintegration.gravity, np.float32),
+                )
 
         self.registrated = True
         self.frame_count += 1
@@ -319,90 +601,6 @@ class LidarOdometry:
         T_il = self.params.imu.T_imu_to_lidar_matrix()
         T_lidar_rel = T_il @ T_imu_rel @ np.linalg.inv(T_il)
         return (self.odom @ T_lidar_rel).astype(np.float32)
-
-    def _registration(self):
-        p = self.params
-        mode = p.motion_prediction.mode.upper()
-        has_imu_pred = (
-            self.imu_preintegration is not None
-            and self.imu_window_complete
-            and self.imu_preintegration.get_dt_total() > 0.0
-        )
-        gyro_delta = None
-        imu_pose = None
-        if has_imu_pred:
-            delta_R_imu = np.asarray(
-                self.imu_preintegration.get_corrected(self.imu_bias_gyro, self.imu_bias_accel).Delta_R
-            )
-            R_il = p.imu.T_imu_to_lidar_matrix()[:3, :3]
-            gyro_delta = R_il @ delta_R_imu @ R_il.T
-            if mode == "IMU_SE3":
-                imu_pose = self._imu_motion_prediction()
-
-        H_raw = None if self.reg_result is None else np.asarray(self.reg_result.H_raw)
-        inl = 0 if self.reg_result is None else int(self.reg_result.inlier)
-        init_T = self.motion_predictor.predict(
-            self.linear_velocity, self.angular_velocity, self.odom, self.dt,
-            H_raw, inl, self.registrated, gyro_delta, imu_pose,
-        )
-
-        v_reset = np.zeros(3, np.float32)
-        if self.imu_preintegration is not None and mode == "IMU_SE3":
-            v_reset = self.imu_velocity_corrector.get_reset_velocity(
-                self.imu_preintegration, self.imu_bias_gyro, self.imu_bias_accel,
-                self.prev_odom[:3, :3] @ self.linear_velocity,
-            )
-
-        # MAP prior from the previous frame's raw Hessian (hpp:573-576)
-        if self.registrated and self.map_prior_params.enabled:
-            self._map_prior_state = map_prior_update(
-                self.map_prior_params,
-                jnp.asarray(self.reg_result.T), jnp.asarray(self.reg_result.H_raw),
-                jnp.asarray(self.reg_result.error_raw), jnp.asarray(self.reg_result.inlier),
-                jnp.asarray(init_T),
-            )
-        else:
-            self._map_prior_state = inactive_prior()
-
-        out = self._align_pipeline_jit(
-            self.preprocessed,
-            self.submap.submap_cloud,
-            self.submap.submap_knn,
-            initial_guess=jnp.asarray(init_T),
-            prev_pose=jnp.asarray(self.odom),
-            dt=jnp.float32(self.dt),
-            map_prior=self._map_prior_state if self.map_prior_params.enabled else None,
-        )
-        result = out.result
-
-        if self.imu_preintegration is not None:
-            T_il = p.imu.T_imu_to_lidar_matrix()
-            self.imu_R_world_at_reset = np.asarray(result.T)[:3, :3] @ T_il[:3, :3]
-            self.imu_v_world_at_reset = v_reset
-            self.imu_preintegration.reset(
-                self.imu_bias_gyro, self.imu_bias_accel,
-                R_world_body=self.imu_R_world_at_reset,
-            )
-        return result, out.registration_input, out.deskewed
-
-    def _submapping(self, result, T_np, n_deskewed, inlier_ratio, deskewed, timestamp):
-        """hpp:599-621: robust-weighted submap sampling + insertion.  All
-        scalar decisions use the pre-fetched frame stats (one link sync)."""
-        p = self.params
-        weights = None
-        if n_deskewed > p.submap.point_random_sampling_num:
-            robust_scale = (
-                self.pipeline_params.robust.min_scale
-                if self.pipeline_params.robust.auto_scale
-                else p.registration.factor.robust.default_scale
-            )
-            weights = self._icp_weights_jit(
-                deskewed, self.submap.submap_cloud, self.submap.submap_knn,
-                jnp.asarray(T_np), jnp.float32(robust_scale),
-            )
-        self.submap.add_frame(
-            deskewed, T_np, result, inlier_ratio, timestamp, weights
-        )
 
     # -- accessors -----------------------------------------------------------
     def get_odometry(self) -> np.ndarray:

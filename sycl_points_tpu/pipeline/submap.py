@@ -263,6 +263,39 @@ class Submap:
             ),
         )
 
+    def retry_insert_after_drop(self, sampled: PointCloud, pose_np) -> None:
+        """Slow-path growth retry for the fused frame step: the caller
+        restored the pre-insert ``map_state`` after observing probe-exhaustion
+        drops, so growing and re-running the SAME insert loses nothing
+        (reference rehash-under-load, voxel_hash_map.hpp:121-124, 847-934).
+        Host syncs here are fine — drops are rare by construction."""
+        pose_j = jnp.asarray(pose_np, dtype=jnp.float32)
+        max_grow = 8
+        for attempt in range(max_grow):
+            self._grow_map()
+            new_state, extracted, load, overflow = self._insert_extract(
+                self.map_state, sampled, pose_j
+            )
+            if (
+                int(new_state.dropped) == int(self.map_state.dropped)
+                or attempt == max_grow - 1
+            ):
+                break
+        self.map_state = new_state
+        self.extract_overflow = int(overflow)
+        self.budget_lost = int(new_state.budget_lost)
+        if int(extracted.count()) >= self.params.registration.min_num_points:
+            target = PointCloud(points=extracted.points, mask=extracted.mask)
+            self.submap_cloud = self._finalize_target(target)
+            self.submap_knn = build_target_knn(
+                self.submap_cloud,
+                max_correspondence_distance=(
+                    self.params.registration.factor.max_correspondence_distance
+                ),
+            )
+        if float(load) > 0.7:
+            self._grow_map()
+
     def finalize_traced(self, cloud: PointCloud) -> PointCloud:
         """Traceable target finalize: neighborhood covariances (+ normals as
         the registration type requires).  Embedded in the fused per-frame

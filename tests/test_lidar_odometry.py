@@ -143,3 +143,19 @@ def test_small_cloud_rejected():
     lo = LidarOdometry(small_params())
     tiny = PointCloud.from_numpy(RNG.normal(size=(10, 3)).astype(np.float32) * 5)
     assert lo.process(tiny, 0.0) is ResultType.small_number_of_points
+
+
+def test_single_sync_per_frame():
+    """The fused frame path must pay exactly ONE device->host readback per
+    successful frame (the stats fetch) — the round-2 pipeline paid >=5."""
+    lo = LidarOdometry(small_params())
+    world = make_world(1500)
+    T = np.eye(4, dtype=np.float32)
+    c0 = PointCloud.from_numpy(scan_at(world, T))
+    assert lo.process(c0, 0.0) is ResultType.first_frame
+    for i in range(1, 4):
+        T2 = T.copy()
+        T2[0, 3] = 0.05 * i
+        c = PointCloud.from_numpy(scan_at(world, T2))
+        assert lo.process(c, 0.1 * i) is ResultType.success
+        assert lo.sync_count_last_frame == 1

@@ -50,3 +50,40 @@ def test_scans_consistent_across_poses():
     d = np.linalg.norm(b_world[sel][:, None, :] - a_world[None, :: 7, :], axis=2)
     nn = d.min(axis=1)
     assert np.median(nn) < 0.5
+
+
+def test_figure8_imu_consistent_with_trajectory():
+    """Preintegrating the analytic IMU between frames must reproduce the
+    frame-to-frame relative pose of figure8_trajectory (validates the
+    gyro/specific-force conventions used by the LIO replay)."""
+    import numpy as np
+    from synthetic_velodyne import figure8_imu, figure8_trajectory
+    from sycl_points_tpu.imu.preintegration import (
+        IMUMeasurement, IMUPreintegration, IMUPreintegrationParams,
+    )
+
+    poses = figure8_trajectory(12)
+    frame_dt, hz = 0.1, 400
+    pre = IMUPreintegration(IMUPreintegrationParams())
+    zeros = np.zeros(3, np.float32)
+    for i in (0, 5, 10):
+        t0 = frame_dt * i
+        # true world velocity at t0 (analytic)
+        s_dot = 0.35 / (frame_dt * 18.0)
+        s = t0 * s_dot
+        v0 = np.array([18.0 * np.cos(s) * s_dot, 18.0 * np.cos(2 * s) * s_dot, 0.0])
+        pre.reset(zeros, zeros, R_world_body=poses[i][:3, :3].astype(np.float32))
+        meas = []
+        for k in range(hz + 1):
+            t = t0 + frame_dt * k / hz
+            g, a = figure8_imu(t)
+            meas.append(IMUMeasurement(timestamp=t, gyro=g.astype(np.float32),
+                                       accel=a.astype(np.float32)))
+        pre.integrate_batch(meas)
+        T_rel = np.asarray(pre.predict_relative_transform(
+            poses[i][:3, :3].astype(np.float32), v0.astype(np.float32),
+            zeros, zeros,
+        ))
+        T_true = np.linalg.inv(poses[i]) @ poses[i + 1]
+        assert np.linalg.norm(T_rel[:3, 3] - T_true[:3, 3]) < 2e-3, (i, T_rel, T_true)
+        assert np.linalg.norm(T_rel[:3, :3] - T_true[:3, :3]) < 2e-3
