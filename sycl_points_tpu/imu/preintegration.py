@@ -318,6 +318,23 @@ def build_measurement_window(
     return window
 
 
+def padded_steps_from_window(window: Sequence[IMUMeasurement], min_bucket: int = 32):
+    """:func:`steps_from_window` padded to a power-of-two bucket so device
+    programs consuming the arrays compile once per bucket, not once per
+    window length (real IMU windows jitter by a step or two every frame)."""
+    dt, w0, w1, a0, a1, valid = steps_from_window(window)
+    S = len(dt)
+    Sp = max(min_bucket, 1 << (max(S, 1) - 1).bit_length())
+    if Sp != S:
+        pad = Sp - S
+        z = np.zeros((pad, 3), np.float32)
+        dt = np.concatenate([dt, np.zeros(pad, np.float32)])
+        w0, w1 = np.concatenate([w0, z]), np.concatenate([w1, z])
+        a0, a1 = np.concatenate([a0, z]), np.concatenate([a1, z])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    return dt, w0, w1, a0, a1, valid
+
+
 def steps_from_window(window: Sequence[IMUMeasurement]):
     """Per-step (dt, omega0, omega1, accel0, accel1, valid) arrays from a
     measurement window; drops non-increasing timestamps like the streaming
@@ -378,20 +395,10 @@ class IMUPreintegration:
             st = init_state(
                 None if self._init_cov is None else jnp.asarray(self._init_cov, jnp.float32)
             )
-            dt, w0, w1, a0, a1, valid = steps_from_window(self._measurements)
-            # Pad the step arrays to a power-of-two bucket so the scan
-            # executable is cached per bucket instead of re-traced (and, for
-            # the eager path, re-COMPILED) for every distinct window length
-            # — real IMU windows jitter by a step or two every frame.
-            S = len(dt)
-            Sp = max(32, 1 << (max(S, 1) - 1).bit_length())
-            if Sp != S:
-                pad = Sp - S
-                dt = np.concatenate([dt, np.zeros(pad, np.float32)])
-                z = np.zeros((pad, 3), np.float32)
-                w0, w1 = np.concatenate([w0, z]), np.concatenate([w1, z])
-                a0, a1 = np.concatenate([a0, z]), np.concatenate([a1, z])
-                valid = np.concatenate([valid, np.zeros(pad, bool)])
+            # Power-of-two padding: the scan executable is cached per bucket
+            # instead of re-traced (and, for the eager path, re-COMPILED)
+            # for every distinct window length.
+            dt, w0, w1, a0, a1, valid = padded_steps_from_window(self._measurements)
             self._state = _integrate_steps_jit(
                 self.params, st,
                 jnp.asarray(dt), jnp.asarray(w0), jnp.asarray(w1),

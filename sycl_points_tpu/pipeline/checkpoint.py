@@ -100,6 +100,12 @@ def load_checkpoint(path: str, odometry) -> None:
         odometry.P_post = jnp.asarray(z["P_post"])
         odometry.imu_R_world_at_reset = z["imu_R_world_at_reset"]
         odometry.imu_v_world_at_reset = z["imu_v_world_at_reset"]
+        odometry.last_imu_reset_timestamp = float(z["last_frame_time"])
+        # host mirrors of the device filter state (one-time sync at restore)
+        if hasattr(odometry, "gyro_bias_np"):
+            odometry.gyro_bias_np = np.asarray(odometry.x.gyro_bias)
+            odometry.accel_bias_np = np.asarray(odometry.x.accel_bias)
+            odometry.velocity_np = np.asarray(odometry.x.velocity)
 
     # Rebuild the registration target from the restored map.
     if not odometry.is_first_frame:

@@ -6,12 +6,21 @@ per-frame flow preprocess -> covariances -> refine -> IMU window
 integration -> (IMU-only fallback for tiny clouds) -> 15-DOF LIO
 registration -> bias clamps -> preintegration reset with P_post sigma
 floors -> submapping.
+
+ONE device->host sync per frame (same architecture as
+:mod:`.lidar_odometry`): the whole inertial chain — preintegration of the
+padded IMU window, state/covariance prediction with the reset sigma
+floors, the 15-DOF align, bias clamps, the IMU-only fallback for
+too-small clouds, and the keyframe decision — runs as one jitted program
+(re-compiled per power-of-two IMU window bucket), chained with the shared
+fused submap update; every host-needed scalar rides a single stats fetch.
+The filter state (State, P_post) lives on device end-to-end.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import enum
+import math
 import time
 from collections import defaultdict, deque
 from typing import Dict, Optional
@@ -24,17 +33,20 @@ from sycl_points_tpu.imu.factor import IDX_ROT, IDX_VEL, State
 from sycl_points_tpu.imu.initial_alignment import InitialAlignmentEstimator
 from sycl_points_tpu.imu.preintegration import (
     IMUMeasurement,
-    IMUPreintegration,
     build_measurement_window,
+    init_state,
+    integrate_steps,
+    padded_steps_from_window,
+    predict_relative_transform,
 )
 from sycl_points_tpu.lio import lio_registration as lio
-from sycl_points_tpu.pipeline.lidar_odometry import ResultType as _LOResultType
+from sycl_points_tpu.ops.knn import BruteForceKNN
+from sycl_points_tpu.ops.sampling import random_sampling
+from sycl_points_tpu.pipeline.fused_submap import build_submap_step
 from sycl_points_tpu.pipeline.params import LidarInertialOdometryParams
 from sycl_points_tpu.pipeline.pc_processor import PCProcessor
 from sycl_points_tpu.pipeline.submap import Submap
 from sycl_points_tpu.points.point_cloud import PointCloud
-from sycl_points_tpu.ops.sampling import random_sampling
-from sycl_points_tpu.registration.registration import compute_icp_robust_weights
 from sycl_points_tpu.utils import lie
 
 
@@ -48,41 +60,20 @@ class ResultType(enum.Enum):
     imu_only = "imu_only"
 
 
+# stats1 layout: T(16) + [inlier, n_pre, n_reg, is_kf, small, finite_ok,
+# iterations, error, dt_total](9) + gyro_bias(3) + accel_bias(3) + vel(3)
+_S1 = 34
+
+
 class LidarInertialOdometry:
     def __init__(self, params: LidarInertialOdometryParams = LidarInertialOdometryParams()):
         self.params = params
         self.pc_processor = PCProcessor(params)
         self.submap = Submap(params)
-        # Jitted ONCE (params bound as closure constants): calling lio.align
-        # eagerly would retrace and recompile its solver loops every frame.
-        self._lio_align_jit = jax.jit(
-            lambda source, target, target_knn, pred, P_pred, P_prev, update_bias: lio.align(
-                source, target, target_knn, pred, P_pred, P_prev,
-                factor_params=params.registration.factor,
-                params=params.lio,
-                update_bias=update_bias,
-            )
-        )
-        self._icp_weights_jit = jax.jit(
-            lambda src, tgt, knn, pose: compute_icp_robust_weights(
-                src, tgt, knn, pose, params.registration.factor
-            )
-        )
-        # One fused post-registration readback (pose + inlier + count): each
-        # device->host sync costs a full link round trip.
-        self._frame_stats_jit = jax.jit(
-            lambda T, inlier, reg_input: jnp.concatenate(
-                [
-                    T.ravel(),
-                    jnp.stack(
-                        [
-                            inlier.astype(jnp.float32),
-                            reg_input.count().astype(jnp.float32),
-                        ]
-                    ),
-                ]
-            )
-        )
+        self._use_pallas = jax.default_backend() in ("tpu", "axon")
+        self._stats_cat_jit = jax.jit(lambda a, b: jnp.concatenate([a, b]))
+        self._build_lio_step()
+        self._fused_version = -1
 
         self.x = State(
             position=jnp.asarray(params.pose.initial_matrix()[:3, 3]),
@@ -102,11 +93,16 @@ class LidarInertialOdometry:
         self.preprocessed: Optional[PointCloud] = None
         self.error_message = ""
         self.processing_times: Dict[str, float] = defaultdict(float)
+        self.sync_count_last_frame = 0
         self._key = jax.random.key(99)
+        self._dropped_seen = 0
+        # host mirrors of the device filter state (refreshed by the fused
+        # stats fetch; used by the host-side deskew path)
+        self.gyro_bias_np = np.asarray(params.imu.gyro_bias, np.float32)
+        self.accel_bias_np = np.asarray(params.imu.accel_bias, np.float32)
+        self.velocity_np = np.zeros(3, np.float32)
 
         self.imu_buffer: deque = deque()
-        self._imu_batch: list = []
-        self.imu_preintegration = IMUPreintegration(params.imu.preintegration)
         self.imu_R_world_at_reset = np.eye(3, dtype=np.float32)
         self.imu_v_world_at_reset = np.zeros(3, np.float32)
         self.alignment_estimator = (
@@ -118,6 +114,134 @@ class LidarInertialOdometry:
             if params.imu.initial_alignment.enable
             else None
         )
+
+    # ------------------------------------------------------------------
+    def _build_lio_step(self):
+        """The fused inertial frame program (jitted once per IMU window
+        bucket): preintegration -> prediction (reset sigma floors folded in,
+        lidar_inertial_odometry.hpp:402-459) -> 15-DOF align (:513-537) ->
+        bias clamps -> IMU-only fallback select (:472-509) -> keyframe
+        decision -> stats."""
+        p = self.params
+        pp = p.imu.preintegration
+        kfp = p.submap.keyframe
+        min_pts = p.registration.min_num_points
+        is_occ = self.submap.is_occupancy
+        T_il_np = p.imu.T_imu_to_lidar_matrix()
+        sampling = p.registration_sampling
+
+        def _lio_step(pre, submap, knn, x, P_post, dt_s, w0, w1, a0, a1, valid,
+                      update_bias, key, last_kf_pose, kf_dt_exceeded):
+            T_il = jnp.asarray(T_il_np)
+            R_il = T_il[:3, :3]
+            g = jnp.asarray(pp.gravity, jnp.float32)
+
+            # ---- preintegration with the reset covariance floors ----------
+            P = P_post
+            P = P.at[IDX_VEL:IDX_VEL + 3, IDX_VEL:IDX_VEL + 3].add(
+                p.fd_velocity_sigma**2 * jnp.eye(3)
+            )
+            P = P.at[IDX_ROT:IDX_ROT + 3, IDX_ROT:IDX_ROT + 3].add(
+                p.icp_rotation_sigma**2 * jnp.eye(3)
+            )
+            P_imu_init = lio.transform_covariance_lidar_to_imu(P, T_il, x.rotation)
+            R_world_imu = x.rotation @ R_il
+            raw = integrate_steps(
+                pp, init_state(P_imu_init), dt_s, w0, w1, a0, a1, valid,
+                x.gyro_bias, x.accel_bias, R_world_imu,
+            )
+
+            # ---- state/covariance prediction ------------------------------
+            T_imu_rel = predict_relative_transform(pp, raw, R_world_imu, x.velocity)
+            T_lidar_rel = T_il @ T_imu_rel @ lie.transform_inverse(T_il)
+            T_pred = x.pose() @ T_lidar_rel
+            v_pred = x.velocity + g * raw.dt_total + R_world_imu @ raw.Delta_v
+            pred = State(
+                position=T_pred[:3, 3], rotation=T_pred[:3, :3],
+                velocity=v_pred, accel_bias=x.accel_bias, gyro_bias=x.gyro_bias,
+            )
+            P_pred = lio.transform_covariance_imu_to_lidar(
+                raw.covariance, T_il, pred.rotation
+            )
+
+            # ---- registration --------------------------------------------
+            n_pre = pre.count()
+            small = n_pre <= min_pts
+            source = pre
+            if sampling.enable and sampling.num < pre.capacity:
+                source = random_sampling(pre, sampling.num, key)
+            result = lio.align(
+                source, submap, knn, pred, P_pred, P_post,
+                factor_params=p.registration.factor, params=p.lio,
+                update_bias=update_bias,
+            )
+            x_reg = result.state
+            if p.max_accel_bias_norm > 0.0:
+                x_reg = x_reg._replace(
+                    accel_bias=_clamp_norm(x_reg.accel_bias, p.max_accel_bias_norm)
+                )
+            if p.max_gyro_bias_norm > 0.0:
+                x_reg = x_reg._replace(
+                    gyro_bias=_clamp_norm(x_reg.gyro_bias, p.max_gyro_bias_norm)
+                )
+
+            # ---- IMU-only fallback select (small clouds) ------------------
+            def sel(a, b):
+                return jax.tree_util.tree_map(
+                    lambda u, v: jnp.where(small, u, v), a, b
+                )
+
+            x_new = sel(pred, x_reg)
+            P_new = sel(P_pred, result.posterior_covariance)
+            T_eff = x_new.pose()
+            finite_ok = (
+                jnp.all(jnp.isfinite(T_eff))
+                & jnp.all(jnp.isfinite(x_new.velocity))
+                & jnp.all(jnp.isfinite(P_new))
+            )
+
+            # ---- keyframe decision (submapping.hpp:99-121) ----------------
+            n_reg = source.count()
+            ratio = result.inlier.astype(jnp.float32) / jnp.maximum(
+                n_reg, 1
+            ).astype(jnp.float32)
+            if kfp.inlier_ratio_threshold > 0.0:
+                inlier_ok = ratio > kfp.inlier_ratio_threshold
+            else:
+                inlier_ok = jnp.bool_(True)
+            if is_occ:
+                geom_kf = jnp.bool_(True)
+            else:
+                delta = lie.transform_inverse(last_kf_pose) @ T_eff
+                tw = lie.se3_log(delta)
+                dist = jnp.linalg.norm(delta[:3, 3])
+                angle_deg = jnp.linalg.norm(tw[:3]) * (180.0 / math.pi)
+                geom_kf = (
+                    (dist >= kfp.distance_threshold)
+                    | (angle_deg >= kfp.angle_threshold_degrees)
+                    | kf_dt_exceeded
+                )
+            is_kf = (~small) & inlier_ok & geom_kf & finite_ok
+
+            f32 = lambda v: jnp.asarray(v, jnp.float32)
+            stats1 = jnp.concatenate([
+                T_eff.ravel(),
+                jnp.stack([
+                    f32(result.inlier), f32(n_pre), f32(n_reg), f32(is_kf),
+                    f32(small), f32(finite_ok), f32(result.iterations),
+                    f32(result.error), f32(raw.dt_total),
+                ]),
+                x_new.gyro_bias, x_new.accel_bias, x_new.velocity,
+            ])
+            return x_new, P_new, source, T_eff, is_kf, stats1
+
+        self._lio_step_jit = jax.jit(_lio_step)
+
+    def _build_submap_step(self):
+        self._submap_step_jit = build_submap_step(
+            self.params, self.submap, self._use_pallas, robust_scale=None
+        )
+        self._fused_version = self.submap.version
 
     # ------------------------------------------------------------------
     def add_imu_measurement(self, meas: IMUMeasurement):
@@ -138,7 +262,7 @@ class LidarInertialOdometry:
         ):
             ok, R_gl, gyro_bias, diag = self.alignment_estimator.try_align(
                 timestamp, list(self.imu_buffer),
-                np.asarray(self.x.gyro_bias), np.asarray(self.x.accel_bias),
+                self.gyro_bias_np, self.accel_bias_np,
             )
             if not ok:
                 self.error_message = f"initial_alignment: {diag.error_message}"
@@ -149,6 +273,7 @@ class LidarInertialOdometry:
             Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]], np.float32)
             self.odom[:3, :3] = Rz @ R_gl
             self.prev_odom = self.odom.copy()
+            self.gyro_bias_np = np.asarray(gyro_bias, np.float32)
             self.x = self.x._replace(
                 rotation=jnp.asarray(self.odom[:3, :3]),
                 gyro_bias=jnp.asarray(gyro_bias),
@@ -162,6 +287,7 @@ class LidarInertialOdometry:
                 self.error_message = "old timestamp"
                 return ResultType.old_timestamp
         self.processing_times.clear()
+        self.sync_count_last_frame = 0
 
         # preprocess + covariances + refine (shared with the LO pipeline)
         t0 = time.perf_counter()
@@ -169,7 +295,7 @@ class LidarInertialOdometry:
         if p.imu.deskew.enable:
             cloud, _ = self.pc_processor.deskew_with_imu(
                 cloud, list(self.imu_buffer), self.odom, timestamp, scan_duration_sec,
-                np.asarray(self.x.gyro_bias), np.asarray(self.x.accel_bias),
+                self.gyro_bias_np, self.accel_bias_np,
                 v_world_body=self.imu_v_world_at_reset,
             )
         pre = self.pc_processor.prefilter(cloud)
@@ -179,18 +305,12 @@ class LidarInertialOdometry:
         self.preprocessed = pre
         self.processing_times["1. preprocessing"] += time.perf_counter() - t0
 
-        insufficient = int(pre.count()) <= p.registration.min_num_points
-        if self.is_first_frame and insufficient:
-            self.error_message = "point cloud size is too small"
-            return ResultType.small_number_of_points
-
-        self._integrate_imu_window(timestamp)
-
-        if insufficient:
-            return self._process_imu_only(timestamp)
-
         if self.is_first_frame:
+            if int(pre.count()) <= p.registration.min_num_points:
+                self.error_message = "point cloud size is too small"
+                return ResultType.small_number_of_points
             self.submap.add_first_frame(pre, timestamp, self.odom)
+            self._dropped_seen = int(self.submap.map_state.dropped)
             self.is_first_frame = False
             self.last_frame_time = timestamp
             self.last_imu_reset_timestamp = timestamp
@@ -199,157 +319,113 @@ class LidarInertialOdometry:
                 rotation=jnp.asarray(self.odom[:3, :3]),
                 velocity=jnp.zeros(3),
             )
-            self._reset_imu_preintegration()
+            self.imu_R_world_at_reset = (
+                self.odom[:3, :3] @ p.imu.T_imu_to_lidar_matrix()[:3, :3]
+            )
             return ResultType.first_frame
 
-        # LIO registration
+        # ---- fused frame: ONE device->host sync ---------------------------
         t0 = time.perf_counter()
-        reg_result, reg_input = self._register_frame()
-        self.reg_result = reg_result
+        window = build_measurement_window(
+            list(self.imu_buffer), self.last_imu_reset_timestamp, timestamp
+        )
+        dt_s, w0, w1, a0, a1, valid = padded_steps_from_window(window)
+
+        kfp = p.submap.keyframe
+        kf_dt_exceeded = (
+            self.submap.last_keyframe_time <= 0.0
+            or (timestamp - self.submap.last_keyframe_time)
+            >= kfp.time_threshold_seconds
+        )
+        self._key, k1, k2 = jax.random.split(self._key, 3)
+        x_new, P_new, reg_input, T_eff, is_kf, s1 = self._lio_step_jit(
+            pre, self.submap.submap_cloud, self.submap.submap_knn,
+            self.x, self.P_post,
+            jnp.asarray(dt_s), jnp.asarray(w0), jnp.asarray(w1),
+            jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(valid),
+            jnp.bool_(self._imu_bias_observable()), k1,
+            jnp.asarray(self.submap.last_keyframe_pose, jnp.float32),
+            jnp.bool_(kf_dt_exceeded),
+        )
         self.processing_times["3. registration"] += time.perf_counter() - t0
-        self.last_frame_time = timestamp
-        self.last_imu_reset_timestamp = timestamp
 
-        # submapping (same flow as LO)
         t0 = time.perf_counter()
-        stats = np.asarray(
-            self._frame_stats_jit(reg_result.T, reg_result.inlier, reg_input)
+        if self._fused_version != self.submap.version:
+            self._build_submap_step()
+        prev_map_state = self.submap.map_state
+        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(
+            prev_map_state, self.submap.submap_cloud, reg_input, T_eff, is_kf, k2
         )
-        T_np = stats[:16].reshape(4, 4).astype(np.float32)
-        self._submapping(
-            reg_result, T_np, float(stats[16]) / max(int(stats[17]), 1),
-            int(stats[17]), reg_input, timestamp,
-        )
-        self.processing_times["4. build submap"] += time.perf_counter() - t0
 
+        stats = np.asarray(self._stats_cat_jit(s1, s2))
+        self.sync_count_last_frame += 1
+
+        T_np = stats[:16].reshape(4, 4).astype(np.float32)
+        (n_inlier, n_pre, n_reg, kf_flag, small_flag, finite_ok,
+         iterations, error, dt_total) = stats[16:25]
+        self.gyro_bias_np = stats[25:28].astype(np.float32)
+        self.accel_bias_np = stats[28:31].astype(np.float32)
+        self.velocity_np = stats[31:34].astype(np.float32)
+        load, overflow, ext_ok, dropped, budget_lost, n_extracted = stats[_S1:_S1 + 6]
+
+        if finite_ok < 0.5:
+            self.error_message = "imu-only propagation produced non-finite state or covariance"
+            self.processing_times["4. build submap"] += time.perf_counter() - t0
+            return ResultType.error
+
+        # ---- commit -------------------------------------------------------
+        self.x = x_new
+        self.P_post = P_new
         self.prev_odom = self.odom.copy()
         self.odom = T_np.copy()
+        self.last_frame_time = timestamp
+        self.last_imu_reset_timestamp = timestamp
+        self.imu_R_world_at_reset = (
+            T_np[:3, :3] @ p.imu.T_imu_to_lidar_matrix()[:3, :3]
+        )
+        self.imu_v_world_at_reset = self.velocity_np
+
+        if small_flag > 0.5:
+            self.reg_result = None
+            self.error_message = "point cloud size is too small; propagated with IMU only"
+            self.processing_times["4. build submap"] += time.perf_counter() - t0
+            return ResultType.imu_only
+
+        self.reg_result = None  # per-frame LIO result scalars live in stats
+        self.submap.map_state = new_map_state
+        self.submap.submap_cloud = new_submap
+        self.submap.submap_knn = BruteForceKNN(
+            points=new_submap.points, mask=new_submap.mask,
+            use_pallas=self._use_pallas,
+        )
+        self.submap.extract_overflow = int(overflow)
+        self.submap.budget_lost = int(budget_lost)
+        if kf_flag > 0.5:
+            self.submap.last_keyframe_pose = T_np.copy()
+            self.submap.last_keyframe_time = timestamp
+            self.submap.keyframe_poses.append(self.submap.last_keyframe_pose)
+            self.submap.last_keyframe_cloud = sampled
+
+        dropped_delta = int(dropped) - self._dropped_seen
+        if dropped_delta > 0:
+            self.submap.map_state = prev_map_state
+            self.submap.retry_insert_after_drop(sampled, T_np)
+            self._dropped_seen = int(self.submap.map_state.dropped)
+            self.sync_count_last_frame += 3
+        else:
+            self._dropped_seen = int(dropped)
+            if float(load) > 0.7:
+                self.submap._grow_map()
+        self.processing_times["4. build submap"] += time.perf_counter() - t0
         return ResultType.success
 
     # ------------------------------------------------------------------
-    def _integrate_imu_window(self, timestamp: float):
-        self._imu_batch = build_measurement_window(
-            list(self.imu_buffer), self.last_imu_reset_timestamp, timestamp
-        )
-        self.imu_preintegration.integrate_batch(self._imu_batch)
-
     def _imu_bias_observable(self) -> bool:
-        """lidar_inertial_odometry.hpp:371-393."""
-        # freeze_on_low_excitation is not in the default param surface here;
-        # reference default is False -> always observable.
+        """lidar_inertial_odometry.hpp:371-393.
+
+        freeze_on_low_excitation is not in the default param surface here;
+        reference default is False -> always observable."""
         return True
-
-    def _predict_state(self) -> State:
-        """lidar_inertial_odometry.hpp:432-459."""
-        T_il = self.params.imu.T_imu_to_lidar_matrix()
-        gb, ab = np.asarray(self.x.gyro_bias), np.asarray(self.x.accel_bias)
-        T_imu_rel = np.asarray(
-            self.imu_preintegration.predict_relative_transform(
-                self.imu_R_world_at_reset, self.imu_v_world_at_reset, gb, ab
-            )
-        )
-        T_lidar_rel = T_il @ T_imu_rel @ np.linalg.inv(T_il)
-        T_pred = np.asarray(self.x.pose()) @ T_lidar_rel
-
-        c = self.imu_preintegration.get_corrected(gb, ab)
-        R_world_imu = np.asarray(self.x.rotation) @ T_il[:3, :3]
-        dt_f = float(c.dt_total)
-        g = np.asarray(self.params.imu.preintegration.gravity, np.float32)
-        v_pred = np.asarray(self.x.velocity) + g * dt_f + R_world_imu @ np.asarray(c.Delta_v)
-        return State(
-            position=jnp.asarray(T_pred[:3, 3].astype(np.float32)),
-            rotation=jnp.asarray(T_pred[:3, :3].astype(np.float32)),
-            velocity=jnp.asarray(v_pred.astype(np.float32)),
-            accel_bias=self.x.accel_bias,
-            gyro_bias=self.x.gyro_bias,
-        )
-
-    def _predicted_covariance(self, R_world_lidar) -> jax.Array:
-        T_il = jnp.asarray(self.params.imu.T_imu_to_lidar_matrix())
-        return lio.transform_covariance_imu_to_lidar(
-            self.imu_preintegration.get_raw().covariance, T_il, R_world_lidar
-        )
-
-    def _reset_imu_preintegration(self):
-        """lidar_inertial_odometry.hpp:402-430: sigma floors + frame transform."""
-        p = self.params
-        T_il = p.imu.T_imu_to_lidar_matrix()
-        R_world_imu = np.asarray(self.x.rotation) @ T_il[:3, :3]
-
-        P = self.P_post
-        sv2 = p.fd_velocity_sigma**2
-        sr2 = p.icp_rotation_sigma**2
-        P = P.at[IDX_VEL : IDX_VEL + 3, IDX_VEL : IDX_VEL + 3].add(sv2 * jnp.eye(3))
-        P = P.at[IDX_ROT : IDX_ROT + 3, IDX_ROT : IDX_ROT + 3].add(sr2 * jnp.eye(3))
-        P_imu = lio.transform_covariance_lidar_to_imu(
-            P, jnp.asarray(T_il), self.x.rotation
-        )
-        self.imu_preintegration.reset(
-            np.asarray(self.x.gyro_bias), np.asarray(self.x.accel_bias),
-            initial_covariance=np.asarray(P_imu), R_world_body=R_world_imu,
-        )
-        self.imu_R_world_at_reset = R_world_imu
-        self.imu_v_world_at_reset = np.asarray(self.x.velocity)
-
-    def _process_imu_only(self, timestamp: float) -> ResultType:
-        """lidar_inertial_odometry.hpp:472-509."""
-        pred = self._predict_state()
-        P_pred = self._predicted_covariance(pred.rotation)
-        finite = all(
-            bool(jnp.all(jnp.isfinite(v)))
-            for v in (pred.position, pred.rotation, pred.velocity, P_pred)
-        )
-        if not finite:
-            self.error_message = "imu-only propagation produced non-finite state or covariance"
-            return ResultType.error
-        self.prev_odom = self.odom.copy()
-        self.x = pred
-        self.P_post = P_pred
-        self.odom = np.asarray(pred.pose())
-        self.reg_result = None
-        self.last_frame_time = timestamp
-        self.last_imu_reset_timestamp = timestamp
-        self._reset_imu_preintegration()
-        self.error_message = "point cloud size is too small; propagated with IMU only"
-        return ResultType.imu_only
-
-    def _register_frame(self):
-        """lidar_inertial_odometry.hpp:513-537."""
-        p = self.params
-        pred = self._predict_state()
-        P_pred = self._predicted_covariance(pred.rotation)
-
-        sampling = p.registration_sampling
-        source = self.preprocessed
-        if sampling.enable and sampling.num < source.capacity:
-            self._key, sub = jax.random.split(self._key)
-            source = random_sampling(source, sampling.num, sub)
-
-        result = self._lio_align_jit(
-            source, self.submap.submap_cloud, self.submap.submap_knn,
-            pred, P_pred, self.P_post,
-            jnp.bool_(self._imu_bias_observable()),
-        )
-        self.P_post = result.posterior_covariance
-        self.x = result.state
-        if p.max_accel_bias_norm > 0.0:
-            self.x = self.x._replace(accel_bias=_clamp_norm(self.x.accel_bias, p.max_accel_bias_norm))
-        if p.max_gyro_bias_norm > 0.0:
-            self.x = self.x._replace(gyro_bias=_clamp_norm(self.x.gyro_bias, p.max_gyro_bias_norm))
-        self._reset_imu_preintegration()
-        return result, source
-
-    def _submapping(self, result, T_np, inlier_ratio, n_input, reg_input, timestamp):
-        p = self.params
-        weights = None
-        if n_input > p.submap.point_random_sampling_num:
-            weights = self._icp_weights_jit(
-                reg_input, self.submap.submap_cloud, self.submap.submap_knn,
-                result.T,
-            )
-        self.submap.add_frame(
-            reg_input, T_np, result, inlier_ratio, timestamp, weights
-        )
 
     def get_odometry(self) -> np.ndarray:
         return self.odom.copy()

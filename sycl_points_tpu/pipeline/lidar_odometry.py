@@ -40,7 +40,7 @@ from sycl_points_tpu.imu.preintegration import (
 )
 from sycl_points_tpu.imu.velocity_corrector import IMUVelocityCorrector
 from sycl_points_tpu.ops.knn import BruteForceKNN
-from sycl_points_tpu.ops.sampling import mixed_sampling, random_sampling
+from sycl_points_tpu.pipeline.fused_submap import build_submap_step
 from sycl_points_tpu.pipeline.motion_predictor import MotionPredictor
 from sycl_points_tpu.pipeline.params import LidarOdometryParams
 from sycl_points_tpu.pipeline.pc_processor import PCProcessor
@@ -52,7 +52,6 @@ from sycl_points_tpu.registration.map_prior import (
     update as map_prior_update,
 )
 from sycl_points_tpu.registration.pipeline import align_pipeline
-from sycl_points_tpu.registration.registration import compute_icp_robust_weights
 from sycl_points_tpu.utils import lie, lie_np
 
 
@@ -206,96 +205,16 @@ class LidarOdometry:
 
     def _build_submap_step(self):
         """Program B (re-jitted after every map-capacity growth): keyframe
-        submap update under ``lax.cond`` — robust-weighted sampling
-        (submapping.hpp:163-247), map insert + in-range extraction, target
-        covariance finalize — plus the second stats half (load factor and
-        drop/overflow telemetry)."""
-        p = self.params
-        sp = p.submap
-        min_pts = p.registration.min_num_points
-        num = sp.point_random_sampling_num
-        ie = self.submap.insert_extract_fn
-        finalize = self.submap.finalize_traced
-        need_finalize = self.submap._need_covs or self.submap._need_normals
-        use_pallas = self._use_pallas
+        submap update under ``lax.cond`` — see
+        :mod:`sycl_points_tpu.pipeline.fused_submap`."""
         robust_scale = (
             self.pipeline_params.robust.min_scale
             if self.pipeline_params.robust.auto_scale
-            else p.registration.factor.robust.default_scale
+            else self.params.registration.factor.robust.default_scale
         )
-        if self.submap.is_occupancy:
-            from sycl_points_tpu.mapping import occupancy_grid as _m
-            cfg = self.submap.og_config
-        else:
-            from sycl_points_tpu.mapping import voxel_hash_map as _m
-            cfg = self.submap.vhm_config
-
-        def _zeros_sampled(deskewed):
-            # the samplers return the cloud unchanged when num >= capacity,
-            # so the structural dummy must match that shape
-            cap = num if num < deskewed.capacity else deskewed.capacity
-
-            def z(a):
-                return None if a is None else jnp.zeros((cap,) + a.shape[1:], a.dtype)
-            return PointCloud(
-                points=jnp.zeros((cap, 3), jnp.float32),
-                mask=jnp.zeros((cap,), bool),
-                covs=z(deskewed.covs), normals=z(deskewed.normals),
-                rgb=z(deskewed.rgb), intensities=z(deskewed.intensities),
-                timestamp_offsets=z(deskewed.timestamp_offsets),
-            )
-
-        def _submap_step(map_state, submap_prev, deskewed, T_eff, is_kf, key):
-            f32 = lambda x: jnp.asarray(x, jnp.float32)
-
-            def do_update(_):
-                n_desk = deskewed.count()
-                knn_prev = BruteForceKNN(
-                    points=submap_prev.points, mask=submap_prev.mask,
-                    use_pallas=use_pallas,
-                )
-
-                def with_weights(k):
-                    w = compute_icp_robust_weights(
-                        deskewed, submap_prev, knn_prev, T_eff,
-                        p.registration.factor, jnp.float32(robust_scale),
-                    )
-                    return mixed_sampling(
-                        deskewed, num, w, k, sp.weighted_sampling_ratio
-                    )
-
-                def without_weights(k):
-                    return random_sampling(deskewed, num, k)
-
-                sampled = jax.lax.cond(
-                    n_desk > num, with_weights, without_weights, key
-                )
-                new_state, extracted, load, overflow = ie(map_state, sampled, T_eff)
-                ext_ok = extracted.count() >= min_pts
-                target = PointCloud(
-                    points=jnp.where(ext_ok, extracted.points, submap_prev.points),
-                    mask=jnp.where(ext_ok, extracted.mask, submap_prev.mask),
-                )
-                if need_finalize:
-                    target = finalize(target)
-                stats2 = jnp.stack([
-                    f32(load), f32(overflow), f32(ext_ok),
-                    f32(new_state.dropped), f32(new_state.budget_lost),
-                    f32(extracted.count()),
-                ])
-                return new_state, target, sampled, stats2
-
-            def no_update(_):
-                stats2 = jnp.stack([
-                    f32(_m.load_factor(map_state, cfg)), f32(0.0), f32(0.0),
-                    f32(map_state.dropped), f32(map_state.budget_lost),
-                    f32(0.0),
-                ])
-                return map_state, submap_prev, _zeros_sampled(deskewed), stats2
-
-            return jax.lax.cond(is_kf, do_update, no_update, None)
-
-        self._submap_step_jit = jax.jit(_submap_step)
+        self._submap_step_jit = build_submap_step(
+            self.params, self.submap, self._use_pallas, robust_scale
+        )
         self._fused_version = self.submap.version
 
     # -- IMU input (lidar_odometry.hpp:85-113) -------------------------------
@@ -490,8 +409,12 @@ class LidarOdometry:
         )
 
         # ---- THE one fused device->host readback ---------------------------
+        self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         stats = np.asarray(self._stats_cat_jit(s1, s2))
         self.sync_count_last_frame += 1
+        self.processing_times["4b. stats fetch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         T_np = stats[:16].reshape(4, 4).astype(np.float32)
         (n_inlier, n_pre, n_reg, n_desk, kf_flag, small_flag,
@@ -527,10 +450,13 @@ class LidarOdometry:
         if dropped_delta > 0:
             self.submap.map_state = prev_map_state  # retry loses nothing
             self.submap.retry_insert_after_drop(sampled, T_np)
-            self.sync_count_last_frame += 2
-        elif float(load) > 0.7:
-            self.submap._grow_map()
-        self._dropped_seen = int(self.submap.map_state.dropped)
+            # the retry loop fetched fresh counters (device syncs)
+            self._dropped_seen = int(self.submap.map_state.dropped)
+            self.sync_count_last_frame += 3
+        else:
+            self._dropped_seen = int(dropped)  # from the fused stats, no sync
+            if float(load) > 0.7:
+                self.submap._grow_map()
         self.processing_times["4. build submap"] += time.perf_counter() - t0
 
         # full-resolution CV deskew for publishing (hpp:272-277)
