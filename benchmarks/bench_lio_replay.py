@@ -29,7 +29,7 @@ import jax
 
 from synthetic_velodyne import World, figure8_imu, figure8_trajectory, scan_at
 
-from sycl_points_tpu.imu.preintegration import IMUMeasurement
+from sycl_points_tpu.imu.preintegration import IMUMeasurement, IMUPreintegrationParams
 from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 from sycl_points_tpu.pipeline.lidar_inertial_odometry import (
     LidarInertialOdometry,
@@ -73,9 +73,24 @@ def main():
         ),
         submap=SubmapParams(voxel_size=1.0),
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
-        imu=IMUParams(enable=True),
+        # realistic MEMS noise densities: zero densities would make the
+        # preintegration covariance singular-confident and drown the lidar
+        # update (reference configs ship nonzero values)
+        imu=IMUParams(enable=True, preintegration=IMUPreintegrationParams(
+            gyro_noise_density=1e-3, accel_noise_density=1e-2,
+            gyro_bias_rw_density=1e-5, accel_bias_rw_density=1e-4,
+        )),
     )
     odo = LidarInertialOdometry(params)
+    # Known initial state: the figure-8 starts already in motion, so seed the
+    # filter with the true initial velocity (the reference initializes from
+    # rest or its alignment phase; an unseeded start just adds a transient).
+    import jax.numpy as _jnp
+    s_dot = 0.35 / (0.1 * 18.0)  # world-frame p_dot(0) of the figure-8
+    v0 = np.array([18.0 * s_dot, 18.0 * s_dot, 0.0], np.float32)
+    odo.x = odo.x._replace(velocity=_jnp.asarray(v0))
+    odo.velocity_np = v0
+    odo.imu_v_world_at_reset = v0
     raw_cap = pad_capacity_for(args.az * args.rings)
 
     scans = []
@@ -127,11 +142,10 @@ def main():
         if i >= args.warmup:
             frame_times.append(dt)
         if i % 10 == 0 or i < 2:
-            x = odo.get_state()
             bias_traj.append({
                 "frame": i,
-                "gyro_bias": np.asarray(x.gyro_bias).round(5).tolist(),
-                "accel_bias": np.asarray(x.accel_bias).round(5).tolist(),
+                "gyro_bias": odo.gyro_bias_np.round(5).tolist(),
+                "accel_bias": odo.accel_bias_np.round(5).tolist(),
             })
             print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
 
@@ -149,10 +163,11 @@ def main():
         "ms_per_frame_wall": round(float(np.mean(frame_times)) * 1e3, 2),
         "ms_per_frame_median": round(float(np.median(frame_times)) * 1e3, 2),
         "link_floor_ms": round(link_floor_ms, 2),
+        "device_syncs_per_frame": odo.sync_count_last_frame,
         "ate_translation_m": round(ate, 3),
         "preintegration_resets": reset_count,
         "bias_trajectory": bias_traj,
-        "final_velocity": np.asarray(odo.get_state().velocity).round(4).tolist(),
+        "final_velocity": odo.velocity_np.round(4).tolist(),
         "map_capacity_final": odo.submap.map_capacity,
         "map_voxels_final": int(np.asarray(odo.submap.map_state.used).sum()),
         "map_dropped": int(odo.submap.map_state.dropped),

@@ -54,12 +54,15 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--rings", type=int, default=64)
     ap.add_argument("--az", type=int, default=2048)
+    ap.add_argument("--map-capacity", type=int, default=1 << 17)
+    ap.add_argument("--map-voxel", type=float, default=1.0)
+    ap.add_argument("--speed", type=float, default=0.35)
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 
     world = World()
-    poses = figure8_trajectory(args.frames, speed=0.35)
+    poses = figure8_trajectory(args.frames, speed=args.speed)
     params = LidarOdometryParams(
         scan=ScanParams(
             downsampling=DownsamplingParams(
@@ -68,7 +71,7 @@ def main():
                 random=RandomDownsamplingParams(enable=True, num=5000),
             ),
         ),
-        submap=SubmapParams(voxel_size=1.0),
+        submap=SubmapParams(voxel_size=args.map_voxel, map_capacity=args.map_capacity),
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
     )
     odo = LidarOdometry(params)
@@ -76,9 +79,10 @@ def main():
 
     # generate (and disk-cache) all scans before the timed replay
     scans = []
+    sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
     for i, T in enumerate(poses):
         pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
-                      cache_tag=f"replay_{args.az}x{args.rings}_{i}")
+                      cache_tag=f"replay_{args.az}x{args.rings}{sp_tag}_{i}")
         scans.append(PointCloud.from_numpy(pts, capacity=raw_cap))
     print(f"{len(scans)} scans generated ({len(pts)} pts last)", file=sys.stderr, flush=True)
 
@@ -96,11 +100,17 @@ def main():
     stage_sums = {}
     frame_times = []
     est_poses = []
+    growth_events = []
+    cap_seen = odo.submap.map_capacity
     n_ok = 0
     for i, cloud in enumerate(scans):
         t0 = time.perf_counter()
         r = odo.process(cloud, timestamp=0.1 * i)
         dt = time.perf_counter() - t0
+        if odo.submap.map_capacity != cap_seen:
+            cap_seen = odo.submap.map_capacity
+            growth_events.append({"frame": i, "capacity": cap_seen,
+                                  "frame_ms": round(dt * 1e3, 1)})
         est_poses.append(np.asarray(odo.odom).copy())
         if r in (ResultType.success, ResultType.first_frame):
             n_ok += 1
@@ -126,6 +136,7 @@ def main():
         "raw_points_per_scan": int(raw_cap),
         "ms_per_frame_wall": round(float(np.mean(frame_times)) * 1e3, 2),
         "ms_per_frame_median": round(float(np.median(frame_times)) * 1e3, 2),
+        "ms_per_frame_max": round(float(np.max(frame_times)) * 1e3, 2),
         "stage_ms": stages_ms,
         "link_floor_ms": round(link_floor_ms, 2),
         "device_syncs_per_frame": odo.sync_count_last_frame,
@@ -135,6 +146,7 @@ def main():
         "map_dropped": int(odo.submap.map_state.dropped),
         "map_budget_lost": int(odo.submap.map_state.budget_lost),
         "extract_overflow_last": odo.submap.extract_overflow,
+        "growth_events": growth_events,
     }
     print(json.dumps(out))
     if args.json:

@@ -192,12 +192,24 @@ def config2_preprocess_suite(src, cap):
         n = extract_normals(p.points, covs)
         return acc + covs[0, 0, 0] + n[0, 0]
 
-    out["box_filter_ms"] = round(marginal_ms(b_box), 3)
-    out["voxel_downsample_ms"] = round(marginal_ms(b_voxel), 3)
-    out["polar_downsample_ms"] = round(marginal_ms(b_polar), 3)
-    out["random_sampling_ms"] = round(marginal_ms(b_random), 3)
-    out["fps_256_ms"] = round(marginal_ms(b_fps), 3)
-    out["covariances_normals_k10_ms"] = round(marginal_ms(b_features), 3)
+    below_noise = []
+
+    def put(name, body, **kw):
+        ms = marginal_ms(body, **kw)
+        if ms < 0.05:  # marginal differences under the timing noise floor
+            out[name] = "<0.05 (below noise floor)"
+            below_noise.append(name)
+        else:
+            out[name] = round(ms, 3)
+
+    put("box_filter_ms", b_box)
+    put("voxel_downsample_ms", b_voxel)
+    put("polar_downsample_ms", b_polar)
+    put("random_sampling_ms", b_random)
+    put("fps_256_ms", b_fps)
+    put("covariances_normals_k10_ms", b_features)
+    if below_noise:
+        out["below_noise_floor"] = below_noise
     out["config"] = "2-preprocessing-suite"
     return out
 

@@ -176,6 +176,9 @@ class SubmapParams:
     weighted_sampling_ratio: float = 0.8
     keyframe: KeyframeParams = KeyframeParams()
     occupancy_grid_map: SubmapOccupancyGridParams = SubmapOccupancyGridParams()
+    # voxel-hash staleness pruning (voxel_hash_map.hpp:53-66, 134-140)
+    max_staleness: int = 100
+    remove_old_data_cycle: int = 10
     # TPU-specific static capacities:
     map_capacity: int = 1 << 17
     extract_capacity: int = 1 << 14

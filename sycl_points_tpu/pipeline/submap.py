@@ -57,7 +57,9 @@ class Submap:
             self.map_state = og.create(self.og_config)
         else:
             self.vhm_config = vhm.VoxelHashMapConfig(
-                voxel_size=sp.voxel_size, capacity=sp.map_capacity
+                voxel_size=sp.voxel_size, capacity=sp.map_capacity,
+                max_staleness=sp.max_staleness,
+                remove_old_data_cycle=sp.remove_old_data_cycle,
             )
             self.map_state = vhm.create(self.vhm_config)
 
@@ -132,6 +134,15 @@ class Submap:
 
             def _ie(st, cl, pose):
                 ns = vhm.add_point_cloud(st, cfg, cl, pose)
+                # staleness pruning every remove_old_data_cycle inserts
+                # (voxel_hash_map.hpp:134-140)
+                if cfg.remove_old_data_cycle > 0:
+                    ns = jax.lax.cond(
+                        ns.frame % cfg.remove_old_data_cycle == 0,
+                        lambda s: vhm.remove_old_data(s, cfg),
+                        lambda s: s,
+                        ns,
+                    )
                 extracted, overflow = vhm.extract(
                     ns, cfg, pose[:3, 3],
                     sp_.max_distance_range, out_capacity=sp_.extract_capacity,

@@ -204,3 +204,45 @@ def test_approx_knn_ignores_nan_in_masked_rows():
     d = np.asarray(res.distances)
     assert np.all(idx != 7)
     assert np.all(np.isfinite(d))
+
+
+# ---------------------------------------------------------------------------
+# staleness pruning wired through the Submap insert (voxel_hash_map.hpp:134)
+# ---------------------------------------------------------------------------
+
+def test_submap_vhm_staleness_pruning_fires():
+    from sycl_points_tpu.pipeline.params import (
+        LidarOdometryParams, SubmapParams, KeyframeParams,
+    )
+    from sycl_points_tpu.pipeline.submap import Submap
+
+    params = LidarOdometryParams(
+        submap=SubmapParams(
+            map_type="VOXEL_HASH_MAP", voxel_size=1.0,
+            map_capacity=1 << 10, extract_capacity=1 << 8,
+            point_random_sampling_num=64,
+            max_staleness=3, remove_old_data_cycle=2,
+            keyframe=KeyframeParams(
+                inlier_ratio_threshold=0.0, distance_threshold=0.0,
+                angle_threshold_degrees=0.0, time_threshold_seconds=0.0,
+            ),
+        ),
+    )
+    sm = Submap(params)
+    rng = np.random.default_rng(0)
+    blob_a = rng.uniform(0, 4, size=(128, 3)).astype(np.float32)
+    blob_b = blob_a + 200.0
+    T = np.eye(4, dtype=np.float32)
+    sm.add_first_frame(cloud_of(blob_a, capacity=128), 0.0, T)
+    assert int(vhm.voxel_count(sm.map_state)) > 0
+    # keep inserting far away; A-voxels go stale and must be pruned
+    Tb = T.copy()
+    Tb[:3, 3] = 200.0
+    for i in range(1, 10):
+        sm.add_frame(cloud_of(blob_a, capacity=128), Tb, None, 1.0, float(i))
+    coords = np.asarray(sm.map_state.coords)
+    used = np.asarray(sm.map_state.used)
+    # voxel coords near the original blob (offset space ~2^20 + 0..4)
+    near_a = used & np.all(np.abs(coords - (1 << 20) - 2) < 10, axis=1)
+    assert near_a.sum() == 0, "stale voxels from the first frame not pruned"
+    assert used.sum() > 0
