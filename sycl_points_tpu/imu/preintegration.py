@@ -193,19 +193,198 @@ def _integrate_scan(
     return jax.lax.scan(step, state, (dt, omega0, omega1, accel0, accel1, valid))
 
 
+def _parallel_prefix_integrate(params, state, dt, omega0, omega1, accel0, accel1,
+                               valid, gyro_bias, accel_bias, R_world_body=None):
+    """Parallel-prefix (associative-scan) preintegration — the TPU-native
+    formulation of the midpoint recurrence.
+
+    On this runtime each step of a sequential ``lax.scan`` costs ~0.5 ms
+    regardless of body size (docs/design.md rule 9), so a 64-step IMU window
+    costs tens of ms inside the fused LIO frame program.  Every quantity of
+    the recurrence is instead expressed in closed form over prefix products:
+
+      * ``Delta_R``: one ``associative_scan`` of batched 3x3 products;
+      * ``Delta_v`` / ``Delta_p``: cumsums of prefix-rotated midpoint
+        contributions (the (R, v, p, t) updates form a Galilean-style group);
+      * bias Jacobians: the rotation-Jacobian recurrence
+        ``J' = R_stepᵀ J - Jr dt`` unrolls to
+        ``J_k = M_kᵀ (J_0 + Σ_{i<=k} M_i (-Jr_i dt_i))`` (M_i orthogonal),
+        i.e. ONE cumsum; the v/p Jacobians are cumsums of terms built from
+        those prefixes;
+      * covariance: an ``associative_scan`` over (F, Q) pairs with
+        ``combine((F1,Q1),(F2,Q2)) = (F2 F1, F2 Q1 F2ᵀ + Q2)``.
+
+    Matches the sequential scan to fp tolerance (tests); log-depth instead
+    of S sequential dispatches.  Returns ``(final_state, (Delta_R [S,3,3],
+    Delta_p [S,3], dt_total [S]))`` like :func:`_integrate_scan`.
+    """
+    R0w = jnp.eye(3, dtype=jnp.float32) if R_world_body is None else R_world_body
+    S = dt.shape[0]
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+
+    ok = valid & (dt > 1e-9)
+    dt = jnp.where(ok, dt, 0.0)
+    okf = ok.astype(jnp.float32)
+
+    omega_mid = 0.5 * (omega0 + omega1) - gyro_bias  # [S,3]
+    a_mid = 0.5 * (accel0 + accel1) * params.accel_scale - accel_bias
+    phi_mid = omega_mid * dt[:, None]
+    phi_half = 0.5 * phi_mid
+    R_step = lie.quat_to_matrix(lie.so3_exp(phi_mid))  # [S,3,3]; I when dt=0
+    R_half = lie.quat_to_matrix(lie.so3_exp(phi_half))
+    Jr = right_jacobian_so3(phi_mid)
+    Jr_half = right_jacobian_so3(phi_half)
+    skew_a = lie.skew(a_mid)
+
+    # ---- rotation prefixes -------------------------------------------------
+    M = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b), R_step
+    )  # inclusive: M_k = R_1 ... R_k
+    E = jnp.concatenate([eye3[None], M[:-1]], axis=0)  # exclusive prefix
+    # full (initial-state-composed) prefixes
+    R0 = state.Delta_R
+    E_full = jnp.einsum("ij,sjk->sik", R0, E)
+    M_full = jnp.einsum("ij,sjk->sik", R0, M)
+    DR_mid = jnp.einsum("sij,sjk->sik", E_full, R_half)  # Delta_R at midpoint
+
+    # ---- translation/velocity prefixes ------------------------------------
+    c = jnp.einsum("sij,sj->si", R_half, a_mid * dt[:, None])  # local dv
+    a_nav = jnp.einsum("sij,sj->si", E_full, c)  # = Delta_R_mid a_mid dt
+    v_inc = jnp.cumsum(a_nav, axis=0)
+    v_pref = state.Delta_v + v_inc  # inclusive Delta_v
+    v_excl = jnp.concatenate([state.Delta_v[None], v_pref[:-1]], axis=0)
+    p_terms = v_excl * dt[:, None] + 0.5 * a_nav * dt[:, None]
+    p_pref = state.Delta_p + jnp.cumsum(p_terms, axis=0)
+    t_pref = state.dt_total + jnp.cumsum(dt)
+
+    # ---- bias Jacobians ----------------------------------------------------
+    # J_R_bg_k = M_kᵀ (J0 + Σ_{i<=k} M_i (-Jr_i dt_i))
+    terms_R = jnp.einsum("sij,sjk->sik", E, jnp.einsum("sij,sjk->sik", R_step, -Jr) * dt[:, None, None])
+    # note M_i = E_i R_step_i, so M_i(-Jr_i dt_i) = E_i R_step_i (-Jr_i) dt_i
+    sum_R = state.J_R_bg + jnp.cumsum(terms_R, axis=0)
+    J_R_bg = jnp.einsum("sji,sjk->sik", M, sum_R)  # M_kᵀ @ sum
+    J_R_bg_excl = jnp.concatenate([state.J_R_bg[None], J_R_bg[:-1]], axis=0)
+    J_R_mid = (
+        jnp.einsum("sji,sjk->sik", R_half, J_R_bg_excl)
+        - Jr_half * (0.5 * dt[:, None, None])
+    )
+    DRS = jnp.einsum("sij,sjk->sik", DR_mid, skew_a)  # Delta_R_mid skew(a)
+    DRSJ = jnp.einsum("sij,sjk->sik", DRS, J_R_mid)
+    J_v_bg = state.J_v_bg + jnp.cumsum(-DRSJ * dt[:, None, None], axis=0)
+    J_v_ba = state.J_v_ba + jnp.cumsum(-DR_mid * dt[:, None, None], axis=0)
+    J_v_bg_excl = jnp.concatenate([state.J_v_bg[None], J_v_bg[:-1]], axis=0)
+    J_v_ba_excl = jnp.concatenate([state.J_v_ba[None], J_v_ba[:-1]], axis=0)
+    dt2 = (dt * dt)[:, None, None]
+    J_p_bg = state.J_p_bg + jnp.cumsum(
+        J_v_bg_excl * dt[:, None, None] - 0.5 * DRSJ * dt2, axis=0
+    )
+    J_p_ba = state.J_p_ba + jnp.cumsum(
+        J_v_ba_excl * dt[:, None, None] - 0.5 * DR_mid * dt2, axis=0
+    )
+
+    # ---- covariance: (F, Q) pair scan -------------------------------------
+    dtc = dt[:, None, None]
+    R_world_mid = jnp.einsum("ij,sjk->sik", R0w, DR_mid)
+    RWS = jnp.einsum("sij,sjk->sik", R_world_mid, skew_a)
+    rot_err_to_mid = jnp.swapaxes(R_half, -1, -2)
+    gyro_bias_to_mid = -Jr_half * (0.5 * dtc)
+
+    F = jnp.broadcast_to(jnp.eye(15, dtype=jnp.float32), (S, 15, 15))
+    F = F.at[:, 0:3, 3:6].set(-0.5 * jnp.einsum("sij,sjk->sik", RWS, rot_err_to_mid) * dtc * dtc)
+    F = F.at[:, 0:3, 6:9].set(eye3 * dtc)
+    F = F.at[:, 0:3, 9:12].set(-0.5 * R_world_mid * dtc * dtc)
+    F = F.at[:, 0:3, 12:15].set(-0.5 * jnp.einsum("sij,sjk->sik", RWS, gyro_bias_to_mid) * dtc * dtc)
+    F = F.at[:, 3:6, 3:6].set(jnp.swapaxes(R_step, -1, -2))
+    F = F.at[:, 3:6, 12:15].set(-Jr * dtc)
+    F = F.at[:, 6:9, 3:6].set(-jnp.einsum("sij,sjk->sik", RWS, rot_err_to_mid) * dtc)
+    F = F.at[:, 6:9, 9:12].set(-R_world_mid * dtc)
+    F = F.at[:, 6:9, 12:15].set(-jnp.einsum("sij,sjk->sik", RWS, gyro_bias_to_mid) * dtc)
+    # invalid steps must be identity transitions
+    F = jnp.where(ok[:, None, None], F, jnp.eye(15, dtype=jnp.float32))
+
+    has_noise = (
+        params.gyro_noise_density > 0.0
+        or params.accel_noise_density > 0.0
+        or params.gyro_bias_rw_density > 0.0
+        or params.accel_bias_rw_density > 0.0
+    )
+    if has_noise:
+        dt_safe = jnp.maximum(dt, 1e-9)[:, None, None]
+        dt3 = dtc * dtc * dtc
+        sa2 = params.accel_noise_density**2
+        sg2 = params.gyro_noise_density**2
+        sba2 = params.accel_bias_rw_density**2
+        sbg2 = params.gyro_bias_rw_density**2
+        G = jnp.zeros((S, 15, 12), jnp.float32)
+        G = G.at[:, 0:3, 0:3].set(-0.5 * R_world_mid * dtc * dtc)
+        G = G.at[:, 6:9, 0:3].set(-R_world_mid * dtc)
+        G = G.at[:, 3:6, 3:6].set(-Jr * dtc)
+        G = G.at[:, 0:3, 3:6].set(0.25 * jnp.einsum("sij,sjk->sik", RWS, Jr_half) * dt3)
+        G = G.at[:, 6:9, 3:6].set(0.5 * jnp.einsum("sij,sjk->sik", RWS, Jr_half) * dtc * dtc)
+        G = G.at[:, 9:12, 6:9].set(eye3)
+        G = G.at[:, 12:15, 9:12].set(eye3)
+        qd = jnp.concatenate([
+            jnp.broadcast_to(sa2 / dt_safe[:, :, 0], (S, 3)),
+            jnp.broadcast_to(sg2 / dt_safe[:, :, 0], (S, 3)),
+            jnp.broadcast_to(sba2 * dt_safe[:, :, 0], (S, 3)),
+            jnp.broadcast_to(sbg2 * dt_safe[:, :, 0], (S, 3)),
+        ], axis=1).astype(jnp.float32)
+        Q = jnp.einsum("sij,sjk->sik", G * qd[:, None, :], jnp.swapaxes(G, -1, -2))
+        Q = jnp.where(ok[:, None, None], Q, 0.0)
+    else:
+        Q = jnp.zeros((S, 15, 15), jnp.float32)
+
+    def combine(x, y):
+        F1, Q1 = x
+        F2, Q2 = y
+        Fp = jnp.einsum("...ij,...jk->...ik", F2, F1)
+        Qp = jnp.einsum(
+            "...ij,...jk->...ik",
+            jnp.einsum("...ij,...jk->...ik", F2, Q1),
+            jnp.swapaxes(F2, -1, -2),
+        ) + Q2
+        return Fp, Qp
+
+    F_prod, Q_acc = jax.lax.associative_scan(combine, (F, Q))
+    Fp, Qp = F_prod[-1], Q_acc[-1]
+    cov = Fp @ state.covariance @ Fp.T + Qp
+    cov = 0.5 * (cov + cov.T)
+
+    final = PreintegrationState(
+        Delta_R=M_full[-1], Delta_v=v_pref[-1], Delta_p=p_pref[-1],
+        dt_total=t_pref[-1],
+        J_R_bg=J_R_bg[-1], J_v_bg=J_v_bg[-1], J_v_ba=J_v_ba[-1],
+        J_p_bg=J_p_bg[-1], J_p_ba=J_p_ba[-1], covariance=cov,
+    )
+    return final, (M_full, p_pref, t_pref)
+
+
 def integrate_steps(params, state, dt, omega0, omega1, accel0, accel1, valid,
-                    gyro_bias, accel_bias, R_world_body=None) -> PreintegrationState:
-    """Scan the midpoint recurrence over padded step arrays (jittable)."""
+                    gyro_bias, accel_bias, R_world_body=None,
+                    parallel: bool = True) -> PreintegrationState:
+    """Integrate padded step arrays (jittable).  ``parallel=True`` (default)
+    uses the log-depth parallel-prefix formulation; the sequential scan is
+    kept as the reference implementation for equivalence tests."""
+    if parallel:
+        final, _ = _parallel_prefix_integrate(
+            params, state, dt, omega0, omega1, accel0, accel1,
+            valid, gyro_bias, accel_bias, R_world_body)
+        return final
     final, _ = _integrate_scan(params, state, dt, omega0, omega1, accel0, accel1,
                                valid, gyro_bias, accel_bias, R_world_body)
     return final
 
 
 def integrate_steps_with_outputs(params, state, dt, omega0, omega1, accel0, accel1,
-                                 valid, gyro_bias, accel_bias, R_world_body=None):
+                                 valid, gyro_bias, accel_bias, R_world_body=None,
+                                 parallel: bool = True):
     """Like :func:`integrate_steps` but also returns per-step cumulative
     (Delta_R [S,3,3], Delta_p [S,3], dt_total [S]) — the trajectory samples
     used by the IMU deskew."""
+    if parallel:
+        return _parallel_prefix_integrate(
+            params, state, dt, omega0, omega1, accel0, accel1,
+            valid, gyro_bias, accel_bias, R_world_body)
     return _integrate_scan(params, state, dt, omega0, omega1, accel0, accel1,
                            valid, gyro_bias, accel_bias, R_world_body)
 

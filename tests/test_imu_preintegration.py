@@ -154,3 +154,50 @@ def test_predict_absolute_transform():
     T0 = np.eye(4, dtype=np.float32)
     Tj = np.asarray(p.predict_transform(T0, np.zeros(3)))
     np.testing.assert_allclose(Tj[:3, 3], 0.5 * a_true, atol=1e-2)
+
+
+def test_parallel_prefix_matches_sequential_scan():
+    """The associative-scan preintegration must reproduce the sequential
+    midpoint recurrence (state, all bias Jacobians, covariance, and the
+    per-step trajectory outputs) to fp tolerance."""
+    import numpy as np
+    from sycl_points_tpu.imu.preintegration import (
+        IMUPreintegrationParams, init_state,
+        integrate_steps_with_outputs,
+    )
+
+    rng = np.random.default_rng(11)
+    S = 48
+    dt = np.full(S, 1.0 / 200, np.float32)
+    dt[40:] = 0.0  # padded tail
+    valid = dt > 0
+    w = rng.normal(scale=0.4, size=(S + 1, 3)).astype(np.float32)
+    a = (rng.normal(scale=0.8, size=(S + 1, 3)) + [0, 0, 9.8]).astype(np.float32)
+    gb = np.array([0.01, -0.02, 0.005], np.float32)
+    ab = np.array([-0.03, 0.01, 0.02], np.float32)
+    Rw = np.asarray(jnp.asarray(
+        [[0.36, 0.48, -0.8], [-0.8, 0.6, 0.0], [0.48, 0.64, 0.6]]))
+
+    params = IMUPreintegrationParams(
+        gyro_noise_density=1e-3, accel_noise_density=1e-2,
+        gyro_bias_rw_density=1e-5, accel_bias_rw_density=1e-4,
+    )
+    P0 = rng.normal(scale=1e-3, size=(15, 15)).astype(np.float32)
+    P0 = P0 @ P0.T
+    args = (jnp.asarray(dt), jnp.asarray(w[:-1]), jnp.asarray(w[1:]),
+            jnp.asarray(a[:-1]), jnp.asarray(a[1:]), jnp.asarray(valid),
+            jnp.asarray(gb), jnp.asarray(ab), jnp.asarray(Rw, dtype=jnp.float32))
+
+    seq, (R_seq, p_seq, t_seq) = integrate_steps_with_outputs(
+        params, init_state(jnp.asarray(P0)), *args, parallel=False)
+    par, (R_par, p_par, t_par) = integrate_steps_with_outputs(
+        params, init_state(jnp.asarray(P0)), *args, parallel=True)
+
+    for name in seq._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(par, name)), np.asarray(getattr(seq, name)),
+            rtol=2e-4, atol=2e-5, err_msg=name,
+        )
+    np.testing.assert_allclose(np.asarray(R_par), np.asarray(R_seq), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_par), np.asarray(p_seq), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_par), np.asarray(t_seq), atol=1e-6)
