@@ -12,6 +12,7 @@ Usage: python benchmarks/bench_suite.py [--json out.json]
 """
 
 import argparse
+import dataclasses
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -500,6 +501,25 @@ def config8_kitti_scale():
         return acc + res.error
 
     out["gicp_full_cloud_ms_per_pair"] = round(marginal_ms(b_gicp, reps=(1, 5)), 3)
+
+    # coarse-to-fine correspondence schedule: first 20 iterations search a
+    # stride-4 target subset, the rest the full cloud (convergence only
+    # counts on fine iterations) — the full-cloud-tier speed knob.
+    params_cf = dataclasses.replace(params, coarse_to_fine_iters=20, coarse_stride=4)
+
+    def b_gicp_cf(i, acc):
+        s = pre_s.replace(points=pre_s.points + 1e-12 * acc)
+        res = align(s, pre_t, BruteForceKNN.build(pre_t), params_cf,
+                    robust_schedule=schedule)
+        return acc + res.error
+
+    out["gicp_full_cloud_c2f_ms_per_pair"] = round(marginal_ms(b_gicp_cf, reps=(1, 5)), 3)
+    res_cf = jax.jit(
+        lambda s, t: align(s, t, BruteForceKNN.build(t), params_cf,
+                           robust_schedule=schedule)
+    )(pre_s, pre_t)
+    t_err_cf = np.asarray(res_cf.T)[:3, 3] - np.asarray(T_rel, np.float32)[:3, 3]
+    out["gicp_full_cloud_c2f_t_err_cm"] = round(float(np.linalg.norm(t_err_cf)) * 100, 2)
 
     # production configuration: the registration pipeline's input sampling
     # (1000 pts, reference registration_pipeline_params.hpp default) bounds

@@ -97,6 +97,16 @@ class CriteriaParams:
 class RegistrationParams:
     reg_type: RegType = RegType.GICP
     max_correspondence_distance: float = 2.0
+    # Coarse-to-fine correspondence schedule (off by default): the first
+    # ``coarse_to_fine_iters`` TOTAL iterations search every
+    # ``coarse_stride``-th target point (robust annealing tolerates the
+    # approximate matches), later iterations search the full target.
+    # Convergence cannot fire during the coarse phase, so the final pose is
+    # always refined on exact full-target correspondences.  A large-cloud
+    # speed knob: the per-iteration nn1 search is the full-cloud GICP
+    # bottleneck (reference hot loop registration.hpp:201-276).
+    coarse_to_fine_iters: int = 0
+    coarse_stride: int = 4
     robust: RobustParams = RobustParams()
     rotation_constraint: RotationConstraintParams = RotationConstraintParams()
     genz_planarity_threshold: float = 0.2
@@ -206,15 +216,20 @@ def _gather(arr, idx):
 
 
 def _correspondences(params, knn, src_pts, src_mask, T, tgt: _Targets):
-    """One NN search with the pose folded into the queries (knn.hpp:44).
+    """One NN search with the pose folded into the queries (knn.hpp:44)."""
+    res = knn.search(src_pts, 1, pose=T)
+    return _gather_correspondences(
+        params, res.indices[:, 0], res.distances[:, 0], src_mask, tgt
+    )
+
+
+def _gather_correspondences(params, idx, d2, src_mask, tgt: _Targets):
+    """Gather target rows for precomputed nearest indices.
 
     All target attributes are packed into ONE [M, F] matrix before the align
     loop (see _pack_targets) so the per-iteration gather is a single fused
     kernel instead of one gather per attribute.
     """
-    res = knn.search(src_pts, 1, pose=T)
-    idx = res.indices[:, 0]
-    d2 = res.distances[:, 0]
     max_d2 = params.max_correspondence_distance**2
     corr_mask = src_mask & (d2 <= max_d2)
 
@@ -419,8 +434,32 @@ def align(
     from sycl_points_tpu.registration import degenerate as _degen
     from sycl_points_tpu.registration import rotation_constraint as _rotc
 
-    def iteration_core(T, r_scale, rot_scale_):
-        corr = _correspondences(params, target_knn, src_pts, src_mask, T, tgt)
+    # Coarse-to-fine correspondence: a strided target subset for the first
+    # coarse_to_fine_iters total iterations (see RegistrationParams).
+    cf_iters = params.coarse_to_fine_iters
+    use_cf = cf_iters > 0 and hasattr(target_knn, "points")
+    if use_cf:
+        stride = params.coarse_stride
+        knn_coarse = type(target_knn)(
+            points=target_knn.points[::stride],
+            mask=target_knn.mask[::stride],
+            use_pallas=target_knn.use_pallas,
+        )
+
+    def iteration_core(T, r_scale, rot_scale_, total_it):
+        if use_cf:
+            def c_coarse(_):
+                res = knn_coarse.search(src_pts, 1, pose=T)
+                return res.indices[:, 0] * stride, res.distances[:, 0]
+
+            def c_fine(_):
+                res = target_knn.search(src_pts, 1, pose=T)
+                return res.indices[:, 0], res.distances[:, 0]
+
+            idx, d2 = jax.lax.cond(total_it < cf_iters, c_coarse, c_fine, None)
+            corr = _gather_correspondences(params, idx, d2, src_mask, tgt)
+        else:
+            corr = _correspondences(params, target_knn, src_pts, src_mask, T, tgt)
         alpha = _genz_alpha(corr) if params.reg_type is RegType.GENZ else jnp.float32(1.0)
         lin = _linearize(params, T, src_pts, src_covs_reg, corr, r_scale, alpha)
         if params.rotation_constraint.enable:
@@ -444,7 +483,7 @@ def align(
     def body(s: _LoopState) -> _LoopState:
         r_scale = geo_scales[s.level]
         rot_scale_ = rot_scales[s.level]
-        corr, alpha, lin_raw = iteration_core(s.T, r_scale, rot_scale_)
+        corr, alpha, lin_raw = iteration_core(s.T, r_scale, rot_scale_, s.total_it)
         H_raw, b_raw, error_raw = lin_raw.H, lin_raw.b, lin_raw.error
 
         lin = lin_raw
@@ -557,6 +596,11 @@ def align(
             lam_next = s.lm_lambda
         else:
             raise ValueError(params.optimization_method)
+
+        # Coarse-phase iterations may not terminate the loop: the final pose
+        # must be refined on full-target correspondences.
+        if use_cf:
+            conv = conv & (s.total_it >= cf_iters)
 
         # Robust-level transition (RobustAligner chaining, pipeline/robust.hpp).
         it_next = s.it + 1

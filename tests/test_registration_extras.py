@@ -123,3 +123,51 @@ def test_yaml_unknown_key_rejected(tmp_path):
 
     with pytest.raises(KeyError):
         load_params({"scan": {"nonexistent_field": 1}}, LidarOdometryParams)
+
+
+def test_coarse_to_fine_matches_exact():
+    """With a coarse-phase budget followed by fine iterations, the final pose
+    must match the all-exact align (the last iterations always refine on
+    full-target correspondences)."""
+    import dataclasses as _dc
+    import numpy as np
+    import jax.numpy as jnp
+    from sycl_points_tpu.ops.covariance import estimate_covariances
+    from sycl_points_tpu.ops.knn import BruteForceKNN, brute_force_knn
+    from sycl_points_tpu.points.point_cloud import PointCloud
+    from sycl_points_tpu.registration.factors import RegType
+    from sycl_points_tpu.registration.registration import (
+        RegistrationParams, align,
+    )
+    from sycl_points_tpu.utils import lie
+
+    rng = np.random.default_rng(5)
+    per = 600
+    u = rng.uniform(-6, 6, size=(per, 2)).astype(np.float32)
+    tgt_pts = np.concatenate([
+        np.stack([u[:, 0], u[:, 1], np.zeros(per, np.float32)], 1),
+        np.stack([np.full(per, 6.0, np.float32), u[:, 0], u[:, 1] * 0.3], 1),
+        np.stack([u[:, 0], np.full(per, 6.0, np.float32), u[:, 1] * 0.3], 1),
+    ]) + rng.normal(scale=0.004, size=(3 * per, 3)).astype(np.float32)
+
+    def featurize(pts):
+        c = PointCloud.from_numpy(pts.astype(np.float32))
+        knn = brute_force_knn(c.points, c.mask, c.points, 10)
+        return c.replace(covs=estimate_covariances(c.points, knn))
+
+    tgt = featurize(tgt_pts)
+    T_true = np.asarray(lie.se3_exp(jnp.asarray([0.02, -0.01, 0.03, 0.15, -0.1, 0.05])))
+    src = featurize((tgt_pts - T_true[:3, 3]) @ T_true[:3, :3])
+
+    knn = BruteForceKNN.build(tgt, use_pallas=False)
+    base = RegistrationParams(reg_type=RegType.GICP, max_iterations=30)
+    exact = align(src, tgt, knn, base)
+    cf = align(src, tgt, knn,
+               _dc.replace(base, coarse_to_fine_iters=8, coarse_stride=4))
+    d = np.asarray(lie.se3_log(jnp.asarray(
+        np.linalg.inv(np.asarray(exact.T)) @ np.asarray(cf.T))))
+    assert np.linalg.norm(d[3:]) < 5e-3, d
+    assert np.linalg.norm(d[:3]) < 5e-3, d
+    # and both recover the ground truth
+    err = np.asarray(cf.T)[:3, 3] - T_true[:3, 3]
+    assert np.linalg.norm(err) < 0.02
