@@ -57,11 +57,13 @@ def main():
     ap.add_argument("--map-capacity", type=int, default=1 << 17)
     ap.add_argument("--map-voxel", type=float, default=1.0)
     ap.add_argument("--speed", type=float, default=0.35)
+    ap.add_argument("--hard", action="store_true",
+                    help="clutter world: 8x boxes + 250 poles + 300 scatterers")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 
-    world = World()
+    world = World(hard=args.hard)
     poses = figure8_trajectory(args.frames, speed=args.speed)
     params = LidarOdometryParams(
         scan=ScanParams(
@@ -80,6 +82,8 @@ def main():
     # generate (and disk-cache) all scans before the timed replay
     scans = []
     sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
+    if args.hard:
+        sp_tag += "_hard"
     for i, T in enumerate(poses):
         pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
                       cache_tag=f"replay_{args.az}x{args.rings}{sp_tag}_{i}")
@@ -130,7 +134,7 @@ def main():
     ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
 
     out = {
-        "config": "odometry-replay",
+        "config": "odometry-replay-hard" if args.hard else "odometry-replay",
         "frames": args.frames,
         "frames_ok": n_ok,
         "raw_points_per_scan": int(raw_cap),

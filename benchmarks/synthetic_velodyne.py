@@ -20,20 +20,56 @@ import numpy as np
 
 
 class World:
-    """Ground plane at z=0, cylinder wall at ``wall_r``, K random boxes."""
+    """Ground plane at z=0, cylinder wall at ``wall_r``, K random boxes.
 
-    def __init__(self, seed=42, n_boxes=40, extent=45.0, wall_r=50.0):
+    ``hard=True`` builds the clutter world used for the hardened-replay
+    evidence (no real-sensor sequence is obtainable offline): ~8x the box
+    density, 250 thin poles (high-incidence, few returns each) and 300
+    small scatterers — much closer to foliage/street clutter than the
+    benign box world.  Objects keep 2.5 m clear of the figure-8 track so
+    the sensor never drives through geometry.
+    """
+
+    def __init__(self, seed=42, n_boxes=40, extent=45.0, wall_r=50.0, hard=False):
         rng = np.random.default_rng(seed)
         self.wall_r = wall_r
+        if not hard:
+            # plain world: sampling order preserved exactly (disk-cached
+            # scans and committed replay baselines depend on this stream)
+            c = rng.uniform(-extent, extent, size=(n_boxes, 2))
+            keep = np.linalg.norm(c, axis=1) > 6.0  # clear the origin path
+            c = c[keep]
+            n = len(c)
+            half = rng.uniform(0.5, 3.0, size=(n, 2))
+            self.box_lo = np.concatenate([c - half, np.zeros((n, 1))], axis=1)
+            self.box_hi = np.concatenate(
+                [c + half, rng.uniform(1.0, 6.0, size=(n, 1))], axis=1
+            )
+            return
+
+        n_boxes = max(n_boxes, 300)
         c = rng.uniform(-extent, extent, size=(n_boxes, 2))
-        keep = np.linalg.norm(c, axis=1) > 6.0  # clear space near the origin path
-        c = c[keep]
+        half = rng.uniform(0.5, 3.0, size=(n_boxes, 2))
+        hz = rng.uniform(1.0, 6.0, size=(n_boxes, 1))
+        pc = rng.uniform(-extent, extent, size=(250, 2))
+        ph = rng.uniform(0.05, 0.2, size=(250, 1)) * np.ones((1, 2))
+        pz = rng.uniform(2.0, 8.0, size=(250, 1))
+        sc = rng.uniform(-extent, extent, size=(300, 2))
+        sh = rng.uniform(0.1, 0.5, size=(300, 1)) * np.ones((1, 2))
+        sz = rng.uniform(0.2, 1.2, size=(300, 1))
+        c = np.concatenate([c, pc, sc])
+        half = np.concatenate([half, ph, sh])
+        hz = np.concatenate([hz, pz, sz])
+        # clear 2.5 m around the figure-8 track (radius-18 lemniscate) so the
+        # sensor never sits inside an object
+        s = np.linspace(0, 2 * np.pi, 512)
+        track = np.stack([18.0 * np.sin(s), 18.0 * np.sin(s) * np.cos(s)], 1)
+        d = np.min(np.linalg.norm(c[:, None, :] - track[None], axis=-1), axis=1)
+        keep = d > 2.5
+        c, half, hz = c[keep], half[keep], hz[keep]
         n = len(c)
-        half = rng.uniform(0.5, 3.0, size=(n, 2))
         self.box_lo = np.concatenate([c - half, np.zeros((n, 1))], axis=1)
-        self.box_hi = np.concatenate(
-            [c + half, rng.uniform(1.0, 6.0, size=(n, 1))], axis=1
-        )
+        self.box_hi = np.concatenate([c + half, hz], axis=1)
 
     def raycast(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
         """First-hit distance per ray (inf = sky).  Jitted JAX (fast on this

@@ -28,9 +28,11 @@ from sycl_points_tpu.points import io
 from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 
 REF_DATA = "/root/reference/cpp/data"
-# Floors: 0.97 at the operating k of the covariance path (k=10); k=20 is
-# informational for the robust-covariance configuration (floor 0.95).
-RECALL_FLOORS = {10: 0.97, 20: 0.95}
+# Floors: 0.97 at the operating k of the covariance path (k=10).  High-k
+# call sites (robust-covariance MAX_K tiers) auto-select recall_target 0.97
+# (ops/knn.py), so the k=20 floor sits at 0.965 with the required >=1.5 pt
+# margin below the expected recall.
+RECALL_FLOORS = {10: 0.97, 20: 0.965}
 
 
 def recall_on(cloud: PointCloud, k: int) -> float:
@@ -89,10 +91,48 @@ def main():
             print(rows[-1], flush=True)
             ok &= r >= RECALL_FLOORS[k]
 
+    # cost delta of the k=20 recall_target raise (0.95 -> auto 0.97),
+    # marginal in-program protocol
+    import time
+    import jax.numpy as jnp
+    cloud = velodyne_cloud()
+
+    def marginal_ms(make_body, reps=(1, 9), iters=3):
+        def make(n):
+            @jax.jit
+            def run(salt):
+                return jax.lax.fori_loop(0, n, make_body, salt)
+            return run
+        ts = {}
+        for n in reps:
+            run = make(n)
+            float(run(jnp.float32(0.0)))
+            best = float("inf")
+            for i in range(iters):
+                t0 = time.perf_counter()
+                float(run(jnp.float32(1e-6 * (i + 1))))
+                best = min(best, time.perf_counter() - t0)
+            ts[n] = best
+        return (ts[reps[1]] - ts[reps[0]]) / (reps[1] - reps[0]) * 1e3
+
+    def body_at(target):
+        def body(i, acc):
+            p = cloud.points + 1e-12 * acc
+            r = approx_knn(p, cloud.mask, p, 20, recall_target=target)
+            return acc + r.distances[0, 0]
+        return body
+
+    cost = {
+        "k20_ms_target_0.95": round(marginal_ms(body_at(0.95)), 3),
+        "k20_ms_target_0.97": round(marginal_ms(body_at(0.97)), 3),
+    }
+    print(cost, flush=True)
+
     out = dict(
         backend=jax.default_backend(),
         device=str(jax.devices()[0]),
         recall_floors=RECALL_FLOORS,
+        recall_target_cost=cost,
         passed=bool(ok),
         rows=rows,
     )
