@@ -71,7 +71,7 @@ def main():
                 random=RandomDownsamplingParams(enable=True, num=5000),
             ),
         ),
-        submap=SubmapParams(voxel_size=1.0),
+        submap=SubmapParams(map_type="VOXEL_HASH_MAP", voxel_size=1.0),
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
         # realistic MEMS noise densities: zero densities would make the
         # preintegration covariance singular-confident and drown the lidar
@@ -159,6 +159,7 @@ def main():
         "frames": args.frames,
         "frames_ok": n_ok,
         "imu_hz": args.imu_hz,
+        "map_type": params.submap.map_type,
         "raw_points_per_scan": int(raw_cap),
         "ms_per_frame_wall": round(float(np.mean(frame_times)) * 1e3, 2),
         "ms_per_frame_median": round(float(np.median(frame_times)) * 1e3, 2),

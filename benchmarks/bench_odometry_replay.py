@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--speed", type=float, default=0.35)
     ap.add_argument("--hard", action="store_true",
                     help="clutter world: 8x boxes + 250 poles + 300 scatterers")
+    ap.add_argument("--map-type", default="VOXEL_HASH_MAP",
+                    choices=["VOXEL_HASH_MAP", "OCCUPANCY_GRID_MAP"])
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
@@ -73,7 +75,8 @@ def main():
                 random=RandomDownsamplingParams(enable=True, num=5000),
             ),
         ),
-        submap=SubmapParams(voxel_size=args.map_voxel, map_capacity=args.map_capacity),
+        submap=SubmapParams(map_type=args.map_type, voxel_size=args.map_voxel,
+                            map_capacity=args.map_capacity),
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
     )
     odo = LidarOdometry(params)
@@ -105,6 +108,7 @@ def main():
     frame_times = []
     est_poses = []
     growth_events = []
+    failed_frames = []
     cap_seen = odo.submap.map_capacity
     n_ok = 0
     for i, cloud in enumerate(scans):
@@ -118,6 +122,10 @@ def main():
         est_poses.append(np.asarray(odo.odom).copy())
         if r in (ResultType.success, ResultType.first_frame):
             n_ok += 1
+        else:
+            failed_frames.append({"frame": i, "result": r.name})
+            print(f"frame {i}: {r.name} ({odo.error_message})",
+                  file=sys.stderr, flush=True)
         if i >= args.warmup:
             frame_times.append(dt)
             for k, v in odo.processing_times.items():
@@ -137,6 +145,7 @@ def main():
         "config": "odometry-replay-hard" if args.hard else "odometry-replay",
         "frames": args.frames,
         "frames_ok": n_ok,
+        "map_type": params.submap.map_type,
         "raw_points_per_scan": int(raw_cap),
         "ms_per_frame_wall": round(float(np.mean(frame_times)) * 1e3, 2),
         "ms_per_frame_median": round(float(np.median(frame_times)) * 1e3, 2),
@@ -151,6 +160,7 @@ def main():
         "map_budget_lost": int(odo.submap.map_state.budget_lost),
         "extract_overflow_last": odo.submap.extract_overflow,
         "growth_events": growth_events,
+        "failed_frames": failed_frames,
     }
     print(json.dumps(out))
     if args.json:

@@ -401,10 +401,12 @@ class LidarInertialOdometry:
         self.submap.extract_overflow = int(overflow)
         self.submap.budget_lost = int(budget_lost)
         if kf_flag > 0.5:
-            self.submap.last_keyframe_pose = T_np.copy()
-            self.submap.last_keyframe_time = timestamp
-            self.submap.keyframe_poses.append(self.submap.last_keyframe_pose)
             self.submap.last_keyframe_cloud = sampled
+            # keyframe bookkeeping is VHM-only (submapping.hpp:99-121)
+            if not self.submap.is_occupancy:
+                self.submap.last_keyframe_pose = T_np.copy()
+                self.submap.last_keyframe_time = timestamp
+                self.submap.keyframe_poses.append(self.submap.last_keyframe_pose)
 
         dropped_delta = int(dropped) - self._dropped_seen
         if dropped_delta > 0:

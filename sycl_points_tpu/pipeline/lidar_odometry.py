@@ -440,10 +440,13 @@ class LidarOdometry:
         self.submap.extract_overflow = int(overflow)
         self.submap.budget_lost = int(budget_lost)
         if kf_flag > 0.5:
-            self.submap.last_keyframe_pose = T_np.copy()
-            self.submap.last_keyframe_time = timestamp
-            self.submap.keyframe_poses.append(self.submap.last_keyframe_pose)
             self.submap.last_keyframe_cloud = sampled
+            # the occupancy backend inserts every frame without keyframe
+            # bookkeeping (submapping.hpp:99-121 keyframes are VHM-only)
+            if not self.submap.is_occupancy:
+                self.submap.last_keyframe_pose = T_np.copy()
+                self.submap.last_keyframe_time = timestamp
+                self.submap.keyframe_poses.append(self.submap.last_keyframe_pose)
 
         # growth policy (rare host slow path; syncs only when it fires)
         dropped_delta = int(dropped) - self._dropped_seen
