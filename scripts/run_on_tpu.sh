@@ -24,12 +24,14 @@ for attempt in $(seq 1 "$ATTEMPTS"); do
     sleep 10
     now=$(date +%s)
     size=$(stat -c %s "$LOG" 2>/dev/null || echo 0)
-    # progress = log growth OR CPU burn (XLA compiles are silent but busy;
-    # the tunnel wedge is silent AND idle)
+    # progress = log growth OR real CPU burn (XLA compiles are silent but
+    # busy; the tunnel wedge is silent and only ticks heartbeat CPU, so
+    # require >=1 s of CPU growth per 10 s window to count as alive)
     cpu=$(awk '{print $14+$15}' "/proc/$PID/stat" 2>/dev/null || echo 0)
-    sig="$size:$cpu"
-    if [ "$sig" != "$last_sig" ]; then
-      last_sig=$sig
+    prev_cpu=${last_cpu:-$cpu}
+    last_cpu=$cpu
+    if [ "$size" != "${last_size:-}" ] || [ $((cpu - prev_cpu)) -ge 100 ]; then
+      last_size=$size
       last_change=$now
     fi
     if [ $((now - start)) -gt "$TIMEOUT_S" ]; then
