@@ -122,6 +122,7 @@ def main():
             ))
 
     frame_times = []
+    stage_sums = {}
     est_poses = []
     bias_traj = []
     reset_count = 0
@@ -141,6 +142,8 @@ def main():
             n_ok += 1
         if i >= args.warmup:
             frame_times.append(dt)
+            for k, v in odo.processing_times.items():
+                stage_sums[k] = stage_sums.get(k, 0.0) + v
         if i % 10 == 0 or i < 2:
             bias_traj.append({
                 "frame": i,
@@ -164,6 +167,8 @@ def main():
         "ms_per_frame_wall": round(float(np.mean(frame_times)) * 1e3, 2),
         "ms_per_frame_median": round(float(np.median(frame_times)) * 1e3, 2),
         "link_floor_ms": round(link_floor_ms, 2),
+        "stage_ms": {k: round(v / max(len(frame_times), 1) * 1e3, 2)
+                     for k, v in sorted(stage_sums.items())},
         "device_syncs_per_frame": odo.sync_count_last_frame,
         "ate_translation_m": round(ate, 3),
         "preintegration_resets": reset_count,

@@ -357,8 +357,12 @@ class LidarInertialOdometry:
             prev_map_state, self.submap.submap_cloud, reg_input, T_eff, is_kf, k2
         )
 
+        self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         stats = np.asarray(self._stats_cat_jit(s1, s2))
         self.sync_count_last_frame += 1
+        self.processing_times["4b. stats fetch"] += time.perf_counter() - t0
+        t0 = time.perf_counter()
 
         T_np = stats[:16].reshape(4, 4).astype(np.float32)
         (n_inlier, n_pre, n_reg, kf_flag, small_flag, finite_ok,
