@@ -93,12 +93,12 @@ def main():
     odo.imu_v_world_at_reset = v0
     raw_cap = pad_capacity_for(args.az * args.rings)
 
-    scans = []
+    scans_np = []
     for i, T in enumerate(poses):
         pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
                       cache_tag=f"replay_{args.az}x{args.rings}_{i}")
-        scans.append(PointCloud.from_numpy(pts, capacity=raw_cap))
-    print(f"{len(scans)} scans generated", file=sys.stderr, flush=True)
+        scans_np.append(pts)
+    print(f"{len(scans_np)} scans generated", file=sys.stderr, flush=True)
 
     # link floor, identically measured (see bench.py)
     import jax.numpy as jnp
@@ -128,7 +128,8 @@ def main():
     reset_count = 0
     n_ok = 0
     prev_reset = -1.0
-    for i, cloud in enumerate(scans):
+    for i, pts_np in enumerate(scans_np):
+        cloud = PointCloud.from_numpy(pts_np, capacity=raw_cap)  # untimed h2d
         ts = frame_dt * i
         feed_imu(max(ts - frame_dt, 0.0) if i else -frame_dt * 0.5, ts)
         t0 = time.perf_counter()

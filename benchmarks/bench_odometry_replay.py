@@ -82,16 +82,18 @@ def main():
     odo = LidarOdometry(params)
     raw_cap = pad_capacity_for(args.az * args.rings)
 
-    # generate (and disk-cache) all scans before the timed replay
-    scans = []
+    # generate (and disk-cache) all scans before the timed replay; host->
+    # device upload happens lazily per frame — bulk-uploading hundreds of
+    # scans up front backlogs the dev tunnel and can wedge the session
+    scans_np = []
     sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
     if args.hard:
         sp_tag += "_hard"
     for i, T in enumerate(poses):
         pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
                       cache_tag=f"replay_{args.az}x{args.rings}{sp_tag}_{i}")
-        scans.append(PointCloud.from_numpy(pts, capacity=raw_cap))
-    print(f"{len(scans)} scans generated ({len(pts)} pts last)", file=sys.stderr, flush=True)
+        scans_np.append(pts)
+    print(f"{len(scans_np)} scans generated ({len(pts)} pts last)", file=sys.stderr, flush=True)
 
     # link floor, identically measured (see bench.py)
     trivial = jax.jit(lambda x: (x * 2.0).sum())
@@ -111,7 +113,8 @@ def main():
     failed_frames = []
     cap_seen = odo.submap.map_capacity
     n_ok = 0
-    for i, cloud in enumerate(scans):
+    for i, pts_np in enumerate(scans_np):
+        cloud = PointCloud.from_numpy(pts_np, capacity=raw_cap)  # untimed h2d
         t0 = time.perf_counter()
         r = odo.process(cloud, timestamp=0.1 * i)
         dt = time.perf_counter() - t0
