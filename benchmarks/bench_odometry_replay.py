@@ -142,7 +142,8 @@ def main():
     # trajectory accuracy: translation ATE (shared initial pose)
     gt = np.stack([p[:3, 3] for p in poses])
     est = np.stack([p[:3, 3] for p in est_poses])
-    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+    per_frame_err = np.sqrt(np.sum((est - gt) ** 2, axis=1))
+    ate = float(np.sqrt(np.mean(per_frame_err**2)))
 
     out = {
         "config": "odometry-replay-hard" if args.hard else "odometry-replay",
@@ -164,6 +165,8 @@ def main():
         "extract_overflow_last": odo.submap.extract_overflow,
         "growth_events": growth_events,
         "failed_frames": failed_frames,
+        # drift profile: translation error vs ground truth every 10th frame
+        "err_m_every_10_frames": [round(float(e), 3) for e in per_frame_err[::10]],
     }
     print(json.dumps(out))
     if args.json:

@@ -32,7 +32,11 @@ from sycl_points_tpu.ops.robust import RobustLossType
 from sycl_points_tpu.ops.sampling import farthest_point_sampling, random_sampling
 from sycl_points_tpu.ops.voxel import voxel_downsample
 from sycl_points_tpu.points import io
-from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
+from sycl_points_tpu.points.point_cloud import (
+    PointCloud,
+    compact_device,
+    pad_capacity_for,
+)
 from sycl_points_tpu.registration.factors import RegType
 from sycl_points_tpu.registration.pipeline import (
     RandomSamplingParams,
@@ -397,6 +401,25 @@ def config7_mapping_ops(src, tgt, cap):
         return st, acc + st.log_odds[0]
 
     out["og_insert_carve_ms"] = round(marginal_ms_carry(b_og_insert, ostate), 3)
+
+    # Production shape: the pipelines insert keyframe-sampled clouds whose
+    # capacity tier is sized to the valid count (pad_capacity_for), not the
+    # preprocess buffer.  Same points, same carve result — tighter padding.
+    tier = pad_capacity_for(int(jax.device_get(g0.count())))
+    g0c = jax.block_until_ready(
+        jax.jit(lambda c: compact_device(c, tier))(g0)
+    )
+    out["og_carve_rays_capacity_tiered"] = g0c.capacity
+
+    def b_og_insert_tiered(i, carry):
+        st, acc = carry
+        s = g0c.replace(points=g0c.points + 1e-12 * acc)
+        st = og.add_point_cloud(st, ocfg, s, eye)
+        return st, acc + st.log_odds[0]
+
+    out["og_insert_carve_ms_tiered"] = round(
+        marginal_ms_carry(b_og_insert_tiered, ostate), 3
+    )
 
     def b_og_extract(i, acc):
         c = og.extract_occupied_points(

@@ -191,6 +191,41 @@ def resolve_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int)
     return coords_out, used_out, slot_out, valid & ~unresolved
 
 
+def resolve_slots_tiered(
+    coords_tbl, used, keys, valid, capacity: int, max_probes: int,
+    tier: int = 16384,
+):
+    """:func:`resolve_slots` whose per-probe-round cost tracks the VALID key
+    count instead of the static budget width.
+
+    Pre-aggregated miss keys are rank-ordered, so valid rows form a front
+    prefix; the front ``tier`` rows are resolved unconditionally and the
+    tail is resolved under a ``lax.cond`` that no-ops when the tail holds
+    no valid key — the common case (e.g. ~15k real unique carve voxels
+    against a 131k miss budget at the config-7 bench shape, where the
+    full-width resolve measured 58 ms of the 91 ms insert).
+    """
+    M = keys.shape[0]
+    if M <= tier:
+        return resolve_slots(coords_tbl, used, keys, valid, capacity, max_probes)
+    c1, u1, s1, r1 = resolve_slots(
+        coords_tbl, used, keys[:tier], valid[:tier], capacity, max_probes
+    )
+    kt, vt = keys[tier:], valid[tier:]
+    Mt = M - tier
+
+    def run_tail(args):
+        c, u = args
+        return resolve_slots(c, u, kt, vt, capacity, max_probes)
+
+    def skip_tail(args):
+        c, u = args
+        return c, u, jnp.full((Mt,), -1, jnp.int32), jnp.zeros((Mt,), bool)
+
+    c2, u2, s2, r2 = jax.lax.cond(jnp.any(vt), run_tail, skip_tail, (c1, u1))
+    return c2, u2, jnp.concatenate([s1, s2]), jnp.concatenate([r1, r2])
+
+
 def lookup_slots(coords_tbl, used, keys, valid, capacity: int, max_probes: int):
     """Read-only lookup.  Returns (slot [M] int32 (-1 missing), found [M]).
 

@@ -32,6 +32,7 @@ from sycl_points_tpu.mapping.hash_table import (
     compact_indices_ranked,
     lookup_slots,
     resolve_slots,
+    resolve_slots_tiered,
 )
 from sycl_points_tpu.mapping.voxel_hash_map import _tri_pack, _tri_unpack
 from sycl_points_tpu.ops.voxel import (
@@ -349,6 +350,106 @@ def _ray_carve_keys(origin: jax.Array, targets: jax.Array, valid: jax.Array,
 def _merge_miss_keys(keys_flat, capacity, B, base_coord):
     """Unique-voxel counts for the flattened packed carve keys.
 
+    Three interchangeable implementations (equality pinned by test); the
+    default is the sort+run-length one, chosen by on-chip measurement at the
+    config-7 shape (1.88M key slots, ~15k real uniques):
+
+    - ``_merge_miss_keys_rle``  (DEFAULT): sort + searchsorted run-length
+      extraction — gathers only, no scatter.
+    - ``_merge_miss_keys_sort``: sort + segment_sum/segment_min — the
+      segment reductions lower to large scatters (36.2 ms measured).
+    - ``_merge_miss_keys_dense``: scatter-grid over the B^3 carve window —
+      scatter-bound on this runtime (68.6 ms measured); kept as the
+      measured-negative record.
+
+    Returns (keys [capacity, 3] in offset coords, cnt [capacity], n_lost).
+    """
+    return _merge_miss_keys_rle(keys_flat, capacity, B, base_coord)
+
+
+def _blocked_cumsum(x: jax.Array, block: int = 1024) -> jax.Array:
+    """Inclusive cumsum of a flat int array via a two-level block scan
+    (row cumsum + cumsum of row totals), avoiding the deep flat
+    reduce-window chain XLA emits for multi-million-element cumsums."""
+    n = x.shape[0]
+    if n <= block:
+        return jnp.cumsum(x)
+    pad = (-n) % block
+    xp = jnp.pad(x, (0, pad))
+    rows = xp.reshape(-1, block)
+    row_cum = jnp.cumsum(rows, axis=1)
+    offsets = jnp.cumsum(row_cum[:, -1]) - row_cum[:, -1]
+    return (row_cum + offsets[:, None]).reshape(-1)[:n]
+
+
+def _merge_miss_keys_rle(keys_flat, capacity, B, base_coord):
+    """Sort + run-length unique merge with NO scatters.
+
+    After the key-only sort, each unique voxel is a contiguous run and the
+    sentinel keys (2^31-1) form the tail.  ``seg_rank`` (cumsum of run
+    starts) is nondecreasing, so the start position of unique #r is
+    ``searchsorted(seg_rank, r)`` — a pure-gather binary search replaces
+    the segment_sum/segment_min scatters of the sort-based merge, and run
+    lengths are start-position differences clipped to the valid prefix.
+    """
+    sentinel = jnp.int32(2**31 - 1)
+    key_s = jax.lax.sort(keys_flat)
+    okr = key_s != sentinel
+    n_valid = jnp.sum(okr.astype(jnp.int32))
+    new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
+    # Blocked two-level cumsum: a flat 1.88M-element jnp.cumsum lowers to a
+    # deep reduce-window chain on this runtime; row-wise cumsum over [K/L, L]
+    # plus a short cumsum of row totals is measurably cheaper.
+    seg_rank = _blocked_cumsum((new_seg & okr).astype(jnp.int32)) - 1
+
+    r = jnp.arange(capacity + 1, dtype=jnp.int32)
+    # method='scan' is a 21-step lax.scan (each step pays the ~0.5 ms
+    # sequential-dispatch floor of this runtime); the unrolled variant fuses.
+    starts = jnp.searchsorted(seg_rank, r, method="scan_unrolled")
+    starts = jnp.minimum(starts, n_valid)
+    cnt = (starts[1:] - starts[:-1]).astype(jnp.float32)
+    valid = cnt > 0.0
+    rep = jnp.where(valid, key_s[jnp.minimum(starts[:-1], keys_flat.shape[0] - 1)], 0)
+    # occurrences belonging to uniques beyond `capacity` (fixed-budget loss)
+    n_lost = n_valid - starts[capacity]
+
+    rz = rep % B
+    ry = (rep // B) % B
+    rx = rep // (B * B)
+    keys = jnp.stack([rx, ry, rz], axis=-1) + base_coord[None, :]
+    keys = jnp.where(valid[:, None], keys, _SENTINEL)
+    return keys, cnt, n_lost
+
+
+def _merge_miss_keys_dense(keys_flat, capacity, B, base_coord):
+    """Scatter-grid unique merge over the [B^3] carve window — kept as a
+    measured NEGATIVE result: 68.6 ms at the config-7 shape vs 36.2 ms for
+    the sort-based merge (large scatters are the most expensive primitive
+    on this runtime; see docs/design.md platform rules).
+    """
+    ncells = B * B * B
+    dense = jnp.zeros((ncells,), jnp.float32).at[keys_flat].add(1.0, mode="drop")
+    occ = dense > 0.0
+    rank = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    n_lost = jnp.sum(jnp.where(occ & (rank >= capacity), dense, 0.0)).astype(jnp.int32)
+    cell = jnp.arange(ncells, dtype=jnp.int32)
+    tgt = jnp.where(occ & (rank < capacity), rank, capacity)  # capacity = OOB -> dropped
+    rep = jnp.full((capacity,), -1, jnp.int32).at[tgt].set(cell, mode="drop")
+    filled = rep >= 0
+    cnt = jnp.where(filled, dense[jnp.clip(rep, 0)], 0.0)
+    rep = jnp.where(filled, rep, 0)
+    rz = rep % B
+    ry = (rep // B) % B
+    rx = rep // (B * B)
+    keys = jnp.stack([rx, ry, rz], axis=-1) + base_coord[None, :]
+    keys = jnp.where(filled[:, None], keys, _SENTINEL)
+    return keys, cnt, n_lost
+
+
+def _merge_miss_keys_sort(keys_flat, capacity, B, base_coord):
+    """Sort-based unique merge (fallback for carve windows too large for the
+    dense grid).
+
     One key-only ``lax.sort`` orders the int32 keys; counts segment-reduce
     into ``capacity`` slots.  Unique voxels beyond ``capacity`` are clamped
     to the overflow segment (keeping the sorted-indices contract monotone)
@@ -474,10 +575,15 @@ def add_point_cloud(
         m_keys, m_cnt, m_lost = _merge_miss_keys(
             miss_keys.reshape(-1), config.miss_merge_budget, B, base
         )
-        m_keys = jnp.concatenate([m_keys, origin_coord[None, :]], axis=0)
-        m_cnt = jnp.concatenate([m_cnt, origin_cnt[None]], axis=0)
+        # Origin row PREPENDED: merged keys are rank-ordered so valid rows
+        # form a front prefix, which the tiered resolve exploits to skip
+        # probe work on the (usually empty) budget tail.  The origin voxel
+        # never appears among carve emissions (strictly-between semantics),
+        # so key uniqueness holds either way.
+        m_keys = jnp.concatenate([origin_coord[None, :], m_keys], axis=0)
+        m_cnt = jnp.concatenate([origin_cnt[None], m_cnt], axis=0)
         m_valid = m_cnt > 0.0
-        coords_tbl, used, m_slot, m_resolved = resolve_slots(
+        coords_tbl, used, m_slot, m_resolved = resolve_slots_tiered(
             coords_tbl, used, m_keys, m_valid, config.capacity, config.max_probes
         )
         m_tgt = jnp.where(m_resolved, m_slot, config.capacity)

@@ -67,6 +67,31 @@ def test_carve_sets_match_legacy_dda():
     assert new == legacy
 
 
+def test_miss_merge_variants_match():
+    """All three miss-merge implementations (rle default, sort, dense) must
+    match bit-for-bit — same slot order (cell-index order == sorted
+    packed-key order), counts, and overflow accounting — in and out of the
+    budget regime."""
+    rng = np.random.default_rng(11)
+    B = 23
+    base = jnp.asarray([100, 200, 300], jnp.int32)
+    sentinel = np.int32(2**31 - 1)
+    keys = rng.integers(0, B * B * B, size=4096).astype(np.int32)
+    keys[rng.random(4096) < 0.6] = sentinel  # mostly-sentinel, like real carves
+    for capacity in (4096, 64):  # 64 forces unique-count overflow
+        ks, cs, ls = og._merge_miss_keys_sort(jnp.asarray(keys), capacity, B, base)
+        for impl in (og._merge_miss_keys_rle, og._merge_miss_keys_dense):
+            kd, cd, ld = impl(jnp.asarray(keys), capacity, B, base)
+            np.testing.assert_array_equal(np.asarray(kd), np.asarray(ks))
+            np.testing.assert_array_equal(np.asarray(cd), np.asarray(cs))
+            assert int(ld) == int(ls)
+    assert int(ls) > 0  # the capacity=64 case actually exercised overflow
+    # all-sentinel input: no uniques, no losses
+    allsent = jnp.full((256,), sentinel, jnp.int32)
+    k0, c0, l0 = og._merge_miss_keys_rle(allsent, 32, B, base)
+    assert int(jnp.sum(c0)) == 0 and int(l0) == 0
+
+
 def test_carve_clamps_to_max_ray_distance():
     origin = np.zeros(3, np.float32)
     targets = np.array([[30.0, 0.2, 0.2]], np.float32)
