@@ -367,21 +367,6 @@ def _merge_miss_keys(keys_flat, capacity, B, base_coord):
     return _merge_miss_keys_rle(keys_flat, capacity, B, base_coord)
 
 
-def _blocked_cumsum(x: jax.Array, block: int = 1024) -> jax.Array:
-    """Inclusive cumsum of a flat int array via a two-level block scan
-    (row cumsum + cumsum of row totals), avoiding the deep flat
-    reduce-window chain XLA emits for multi-million-element cumsums."""
-    n = x.shape[0]
-    if n <= block:
-        return jnp.cumsum(x)
-    pad = (-n) % block
-    xp = jnp.pad(x, (0, pad))
-    rows = xp.reshape(-1, block)
-    row_cum = jnp.cumsum(rows, axis=1)
-    offsets = jnp.cumsum(row_cum[:, -1]) - row_cum[:, -1]
-    return (row_cum + offsets[:, None]).reshape(-1)[:n]
-
-
 def _merge_miss_keys_rle(keys_flat, capacity, B, base_coord):
     """Sort + run-length unique merge with NO scatters.
 
@@ -397,16 +382,34 @@ def _merge_miss_keys_rle(keys_flat, capacity, B, base_coord):
     okr = key_s != sentinel
     n_valid = jnp.sum(okr.astype(jnp.int32))
     new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
-    # Blocked two-level cumsum: a flat 1.88M-element jnp.cumsum lowers to a
-    # deep reduce-window chain on this runtime; row-wise cumsum over [K/L, L]
-    # plus a short cumsum of row totals is measurably cheaper.
-    seg_rank = _blocked_cumsum((new_seg & okr).astype(jnp.int32)) - 1
+    seg_rank = jnp.cumsum((new_seg & okr).astype(jnp.int32)) - 1
+    n_unique = seg_rank[-1] + 1
 
-    r = jnp.arange(capacity + 1, dtype=jnp.int32)
-    # method='scan' is a 21-step lax.scan (each step pays the ~0.5 ms
-    # sequential-dispatch floor of this runtime); the unrolled variant fuses.
-    starts = jnp.searchsorted(seg_rank, r, method="scan_unrolled")
-    starts = jnp.minimum(starts, n_valid)
+    # Tiered rank queries: searchsorted costs ~18 ms at full budget width
+    # (131k queries x 21 binary-search gather rounds) but real carves hold
+    # ~15k uniques — query a 16k front grid unconditionally and cond-skip
+    # the tail (identical result: absent ranks resolve to n_valid).
+    tier = min(16384, capacity)
+    r_front = jnp.arange(tier + 1, dtype=jnp.int32)
+    starts_front = jnp.minimum(
+        jnp.searchsorted(seg_rank, r_front, method="scan_unrolled"), n_valid
+    )
+    if tier < capacity:
+        r_tail = jnp.arange(tier + 1, capacity + 1, dtype=jnp.int32)
+
+        def tail_search(_):
+            return jnp.minimum(
+                jnp.searchsorted(seg_rank, r_tail, method="scan_unrolled"),
+                n_valid,
+            )
+
+        def tail_empty(_):
+            return jnp.full((capacity - tier,), 1, jnp.int32) * n_valid
+
+        starts_tail = jax.lax.cond(n_unique > tier, tail_search, tail_empty, None)
+        starts = jnp.concatenate([starts_front, starts_tail])
+    else:
+        starts = starts_front
     cnt = (starts[1:] - starts[:-1]).astype(jnp.float32)
     valid = cnt > 0.0
     rep = jnp.where(valid, key_s[jnp.minimum(starts[:-1], keys_flat.shape[0] - 1)], 0)

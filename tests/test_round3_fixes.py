@@ -91,6 +91,19 @@ def test_miss_merge_variants_match():
     k0, c0, l0 = og._merge_miss_keys_rle(allsent, 32, B, base)
     assert int(jnp.sum(c0)) == 0 and int(l0) == 0
 
+    # capacity above the 16k searchsorted tier: both tail paths (empty tail
+    # when n_unique <= tier, searched tail when it overflows the tier)
+    B2 = 40
+    for n_vocab in (2000, 20000):
+        vocab = rng.choice(B2 * B2 * B2, size=n_vocab, replace=False).astype(np.int32)
+        keys2 = vocab[rng.integers(0, n_vocab, size=65536)].astype(np.int32)
+        keys2[rng.random(65536) < 0.3] = sentinel
+        ks, cs, ls = og._merge_miss_keys_sort(jnp.asarray(keys2), 1 << 15, B2, base)
+        kr, cr, lr = og._merge_miss_keys_rle(jnp.asarray(keys2), 1 << 15, B2, base)
+        np.testing.assert_array_equal(np.asarray(kr), np.asarray(ks))
+        np.testing.assert_array_equal(np.asarray(cr), np.asarray(cs))
+        assert int(lr) == int(ls)
+
 
 def test_carve_clamps_to_max_ray_distance():
     origin = np.zeros(3, np.float32)
