@@ -514,6 +514,38 @@ def padded_steps_from_window(window: Sequence[IMUMeasurement], min_bucket: int =
     return dt, w0, w1, a0, a1, valid
 
 
+def pack_steps(dt, w0, w1, a0, a1, valid) -> np.ndarray:
+    """Pack the per-step arrays into ONE [S, 14] f32 host->device payload
+    (dt | w0 | w1 | a0 | a1 | valid).
+
+    Six separate ``jnp.asarray`` uploads per frame each pay a dispatch on
+    the dev tunnel; one packed transfer keeps the fused LIO frame at a
+    single h2d (see pipeline/lidar_inertial_odometry.py).
+    """
+    return np.concatenate(
+        [
+            np.asarray(dt, np.float32)[:, None],
+            np.asarray(w0, np.float32),
+            np.asarray(w1, np.float32),
+            np.asarray(a0, np.float32),
+            np.asarray(a1, np.float32),
+            np.asarray(valid, np.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+def unpack_steps(packed):
+    """Inverse of :func:`pack_steps` (jit-traceable)."""
+    dt = packed[:, 0]
+    w0 = packed[:, 1:4]
+    w1 = packed[:, 4:7]
+    a0 = packed[:, 7:10]
+    a1 = packed[:, 10:13]
+    valid = packed[:, 13] > 0.5
+    return dt, w0, w1, a0, a1, valid
+
+
 def steps_from_window(window: Sequence[IMUMeasurement]):
     """Per-step (dt, omega0, omega1, accel0, accel1, valid) arrays from a
     measurement window; drops non-increasing timestamps like the streaming

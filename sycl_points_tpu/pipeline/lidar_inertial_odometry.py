@@ -36,8 +36,10 @@ from sycl_points_tpu.imu.preintegration import (
     build_measurement_window,
     init_state,
     integrate_steps,
+    pack_steps,
     padded_steps_from_window,
     predict_relative_transform,
+    unpack_steps,
 )
 from sycl_points_tpu.lio import lio_registration as lio
 from sycl_points_tpu.ops.knn import BruteForceKNN
@@ -130,8 +132,16 @@ class LidarInertialOdometry:
         T_il_np = p.imu.T_imu_to_lidar_matrix()
         sampling = p.registration_sampling
 
-        def _lio_step(pre, submap, knn, x, P_post, dt_s, w0, w1, a0, a1, valid,
-                      update_bias, key, last_kf_pose, kf_dt_exceeded):
+        def _lio_step(pre, submap, knn, x, P_post, imu_pack, misc, key):
+            # ONE h2d payload per frame for the IMU window (imu_pack
+            # [S,14], see preintegration.pack_steps) and one [18] misc
+            # vector (last keyframe pose + host-side flags) — six separate
+            # per-frame uploads measured as real dispatch cost on the
+            # tunnel.
+            dt_s, w0, w1, a0, a1, valid = unpack_steps(imu_pack)
+            last_kf_pose = misc[:16].reshape(4, 4)
+            update_bias = misc[16] > 0.5
+            kf_dt_exceeded = misc[17] > 0.5
             T_il = jnp.asarray(T_il_np)
             R_il = T_il[:3, :3]
             g = jnp.asarray(pp.gravity, jnp.float32)
@@ -329,7 +339,7 @@ class LidarInertialOdometry:
         window = build_measurement_window(
             list(self.imu_buffer), self.last_imu_reset_timestamp, timestamp
         )
-        dt_s, w0, w1, a0, a1, valid = padded_steps_from_window(window)
+        imu_pack = pack_steps(*padded_steps_from_window(window))
 
         kfp = p.submap.keyframe
         kf_dt_exceeded = (
@@ -337,15 +347,19 @@ class LidarInertialOdometry:
             or (timestamp - self.submap.last_keyframe_time)
             >= kfp.time_threshold_seconds
         )
+        misc = np.concatenate(
+            [
+                np.asarray(self.submap.last_keyframe_pose, np.float32).ravel(),
+                np.asarray(
+                    [self._imu_bias_observable(), kf_dt_exceeded], np.float32
+                ),
+            ]
+        )
         self._key, k1, k2 = jax.random.split(self._key, 3)
         x_new, P_new, reg_input, T_eff, is_kf, s1 = self._lio_step_jit(
             pre, self.submap.submap_cloud, self.submap.submap_knn,
             self.x, self.P_post,
-            jnp.asarray(dt_s), jnp.asarray(w0), jnp.asarray(w1),
-            jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(valid),
-            jnp.bool_(self._imu_bias_observable()), k1,
-            jnp.asarray(self.submap.last_keyframe_pose, jnp.float32),
-            jnp.bool_(kf_dt_exceeded),
+            jnp.asarray(imu_pack), jnp.asarray(misc), k1,
         )
         self.processing_times["3. registration"] += time.perf_counter() - t0
 

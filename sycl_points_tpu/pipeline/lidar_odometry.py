@@ -142,9 +142,18 @@ class LidarOdometry:
         is_occ = self.submap.is_occupancy
         prior_enabled = self.map_prior_params.enabled
 
-        def _reg_step(pre, submap, knn, init_T, prev_odom, dt_s,
-                      prev_T, prev_Hraw, prev_err_raw, prev_inlier, registrated,
-                      last_kf_pose, kf_dt_exceeded):
+        def _reg_step(pre, submap, knn, misc,
+                      prev_T, prev_Hraw, prev_err_raw, prev_inlier):
+            # misc packs every per-frame host scalar into ONE [51] f32 h2d
+            # payload (init_T | prev_odom | dt | registrated | last_kf_pose
+            # | kf_dt_exceeded) — separate small uploads each pay a
+            # dispatch on the dev tunnel.
+            init_T = misc[:16].reshape(4, 4)
+            prev_odom = misc[16:32].reshape(4, 4)
+            dt_s = misc[32]
+            registrated = misc[33] > 0.5
+            last_kf_pose = misc[34:50].reshape(4, 4)
+            kf_dt_exceeded = misc[50] > 0.5
             n_pre = pre.count()
             small = n_pre <= min_pts
 
@@ -388,13 +397,19 @@ class LidarOdometry:
             or (timestamp - self.submap.last_keyframe_time)
             >= kfp.time_threshold_seconds
         )
+        misc = np.concatenate(
+            [
+                np.asarray(init_T, np.float32).ravel(),
+                np.asarray(self.odom, np.float32).ravel(),
+                np.asarray([self.dt, self.registrated], np.float32),
+                np.asarray(self.submap.last_keyframe_pose, np.float32).ravel(),
+                np.asarray([kf_dt_exceeded], np.float32),
+            ]
+        )
         result, deskewed, T_eff, is_kf, s1 = self._reg_step_jit(
             pre, self.submap.submap_cloud, self.submap.submap_knn,
-            jnp.asarray(init_T, jnp.float32), jnp.asarray(self.odom, jnp.float32),
-            jnp.float32(self.dt),
-            prev_T, prev_H, prev_er, prev_in, jnp.bool_(self.registrated),
-            jnp.asarray(self.submap.last_keyframe_pose, jnp.float32),
-            jnp.bool_(kf_dt_exceeded),
+            jnp.asarray(misc),
+            prev_T, prev_H, prev_er, prev_in,
         )
         self.processing_times["3. registration"] += time.perf_counter() - t0
 
