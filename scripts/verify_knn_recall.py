@@ -29,9 +29,9 @@ from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 
 REF_DATA = "/root/reference/cpp/data"
 # Floors: 0.97 at the operating k of the covariance path (k=10).  High-k
-# call sites (robust-covariance MAX_K tiers) auto-select recall_target 0.97
-# (ops/knn.py), so the k=20 floor sits at 0.965 with the required >=1.5 pt
-# margin below the expected recall.
+# call sites (robust-covariance MAX_K tiers) auto-select recall_target 0.98
+# (ops/knn.py), measured ~0.98+ recall at k=20 on the Velodyne-density
+# cloud, so the 0.965 floor carries >=1.5 pt margin.
 RECALL_FLOORS = {10: 0.97, 20: 0.965}
 
 
@@ -91,7 +91,7 @@ def main():
             print(rows[-1], flush=True)
             ok &= r >= RECALL_FLOORS[k]
 
-    # cost delta of the k=20 recall_target raise (0.95 -> auto 0.97),
+    # cost delta of the k=20 recall_target raise (0.95 -> auto 0.98),
     # marginal in-program protocol
     import time
     import jax.numpy as jnp
@@ -125,6 +125,7 @@ def main():
     cost = {
         "k20_ms_target_0.95": round(marginal_ms(body_at(0.95)), 3),
         "k20_ms_target_0.97": round(marginal_ms(body_at(0.97)), 3),
+        "k20_ms_target_0.98": round(marginal_ms(body_at(0.98)), 3),
     }
     print(cost, flush=True)
 
