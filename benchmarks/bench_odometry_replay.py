@@ -61,6 +61,8 @@ def main():
                     help="clutter world: 8x boxes + 250 poles + 300 scatterers")
     ap.add_argument("--map-type", default="VOXEL_HASH_MAP",
                     choices=["VOXEL_HASH_MAP", "OCCUPANCY_GRID_MAP"])
+    ap.add_argument("--kf-points", type=int, default=512,
+                    help="points sampled into the map per keyframe")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
@@ -76,7 +78,8 @@ def main():
             ),
         ),
         submap=SubmapParams(map_type=args.map_type, voxel_size=args.map_voxel,
-                            map_capacity=args.map_capacity),
+                            map_capacity=args.map_capacity,
+                            point_random_sampling_num=args.kf_points),
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
     )
     odo = LidarOdometry(params)
@@ -148,6 +151,9 @@ def main():
     out = {
         "config": "odometry-replay-hard" if args.hard else "odometry-replay",
         "frames": args.frames,
+        "run_params": {"speed": args.speed, "map_voxel": args.map_voxel,
+                       "map_capacity_initial": args.map_capacity,
+                       "kf_points": args.kf_points},
         "frames_ok": n_ok,
         "map_type": params.submap.map_type,
         "raw_points_per_scan": int(raw_cap),
