@@ -378,38 +378,30 @@ def _merge_miss_keys_rle(keys_flat, capacity, B, base_coord):
     lengths are start-position differences clipped to the valid prefix.
     """
     sentinel = jnp.int32(2**31 - 1)
+    K = keys_flat.shape[0]
     key_s = jax.lax.sort(keys_flat)
     okr = key_s != sentinel
     n_valid = jnp.sum(okr.astype(jnp.int32))
     new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
-    seg_rank = jnp.cumsum((new_seg & okr).astype(jnp.int32)) - 1
-    n_unique = seg_rank[-1] + 1
 
-    # Tiered rank queries: searchsorted costs ~18 ms at full budget width
-    # (131k queries x 21 binary-search gather rounds) but real carves hold
-    # ~15k uniques — query a 16k front grid unconditionally and cond-skip
-    # the tail (identical result: absent ranks resolve to n_valid).
-    tier = min(16384, capacity)
-    r_front = jnp.arange(tier + 1, dtype=jnp.int32)
-    starts_front = jnp.minimum(
-        jnp.searchsorted(seg_rank, r_front, method="scan_unrolled"), n_valid
+    # Run-start positions by a SECOND key-only sort instead of searchsorted:
+    # searchsorted(seg_rank, 0..capacity) costs 18-68 ms at this shape (21
+    # binary-search gather rounds over the 1.88M rank array; a cond-tiered
+    # variant cliffed to 68 ms the moment real carves crossed the tier),
+    # while sorting where(run_start, index, INT_MAX) costs one more ~3 ms
+    # 1.88M sort and yields the same starts directly: the r-th smallest
+    # flagged index IS the start of unique run #r, and absent ranks sort to
+    # INT_MAX -> clamp to n_valid, exactly searchsorted's out-of-range value.
+    pos = jnp.where(
+        new_seg & okr, jnp.arange(K, dtype=jnp.int32), sentinel
     )
-    if tier < capacity:
-        r_tail = jnp.arange(tier + 1, capacity + 1, dtype=jnp.int32)
-
-        def tail_search(_):
-            return jnp.minimum(
-                jnp.searchsorted(seg_rank, r_tail, method="scan_unrolled"),
-                n_valid,
-            )
-
-        def tail_empty(_):
-            return jnp.full((capacity - tier,), 1, jnp.int32) * n_valid
-
-        starts_tail = jax.lax.cond(n_unique > tier, tail_search, tail_empty, None)
-        starts = jnp.concatenate([starts_front, starts_tail])
-    else:
-        starts = starts_front
+    pos_s = jax.lax.sort(pos)
+    take = min(capacity + 1, K)
+    starts = jnp.minimum(pos_s[:take], n_valid)
+    if take < capacity + 1:
+        starts = jnp.concatenate(
+            [starts, jnp.broadcast_to(n_valid, (capacity + 1 - take,))]
+        )
     cnt = (starts[1:] - starts[:-1]).astype(jnp.float32)
     valid = cnt > 0.0
     rep = jnp.where(valid, key_s[jnp.minimum(starts[:-1], keys_flat.shape[0] - 1)], 0)
