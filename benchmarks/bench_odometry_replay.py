@@ -63,6 +63,9 @@ def main():
                     choices=["VOXEL_HASH_MAP", "OCCUPANCY_GRID_MAP"])
     ap.add_argument("--kf-points", type=int, default=512,
                     help="points sampled into the map per keyframe")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="PipelinedLidarOdometry: device-resident state + "
+                         "one-frame-deferred async stats fetch")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
@@ -82,7 +85,12 @@ def main():
                             point_random_sampling_num=args.kf_points),
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
     )
-    odo = LidarOdometry(params)
+    if args.pipelined:
+        from sycl_points_tpu.pipeline.pipelined_odometry import PipelinedLidarOdometry
+
+        odo = PipelinedLidarOdometry(params)
+    else:
+        odo = LidarOdometry(params)
     raw_cap = pad_capacity_for(args.az * args.rings)
 
     # generate (and disk-cache) all scans before the timed replay; host->
@@ -125,7 +133,8 @@ def main():
             cap_seen = odo.submap.map_capacity
             growth_events.append({"frame": i, "capacity": cap_seen,
                                   "frame_ms": round(dt * 1e3, 1)})
-        est_poses.append(np.asarray(odo.odom).copy())
+        if not args.pipelined:
+            est_poses.append(np.asarray(odo.odom).copy())
         if r in (ResultType.success, ResultType.first_frame):
             n_ok += 1
         else:
@@ -138,6 +147,20 @@ def main():
                 stage_sums[k] = stage_sums.get(k, 0.0) + v
         if i in (0, 1, args.warmup):
             print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
+
+    if args.pipelined:
+        odo.flush()
+        # authoritative deferred outcomes replace the optimistic returns
+        n_ok = 1 + sum(
+            1 for _, rt in odo.deferred_results if rt is ResultType.success
+        )  # +1: bootstrap frame
+        failed_frames = [
+            {"frame": fi + 1, "result": rt.name}
+            for fi, rt in odo.deferred_results if rt is not ResultType.success
+        ]
+        est_poses = [np.asarray(poses[0], np.float32)] + [
+            T for _, _, T, _ in odo.pose_log
+        ]
 
     n = len(frame_times)
     stages_ms = {k: round(v / n * 1e3, 2) for k, v in sorted(stage_sums.items())}
@@ -153,7 +176,8 @@ def main():
         "frames": args.frames,
         "run_params": {"speed": args.speed, "map_voxel": args.map_voxel,
                        "map_capacity_initial": args.map_capacity,
-                       "kf_points": args.kf_points},
+                       "kf_points": args.kf_points,
+                       "pipelined": args.pipelined},
         "frames_ok": n_ok,
         "map_type": params.submap.map_type,
         "raw_points_per_scan": int(raw_cap),

@@ -1,0 +1,128 @@
+"""PipelinedLidarOdometry: deferred-fetch pipeline must match the
+synchronous pipeline's trajectory and map, and handle the small-frame and
+growth slow paths one frame late without losing anything."""
+
+import numpy as np
+import pytest
+
+from sycl_points_tpu.pipeline.lidar_odometry import LidarOdometry, ResultType
+from sycl_points_tpu.pipeline.pipelined_odometry import PipelinedLidarOdometry
+from sycl_points_tpu.points.point_cloud import PointCloud
+
+from tests.test_lidar_odometry import make_world, scan_at, small_params
+
+
+def _trajectory(n=8):
+    import jax.numpy as jnp
+    from sycl_points_tpu.utils import lie
+
+    poses = []
+    T = np.eye(4, dtype=np.float32)
+    for _ in range(n):
+        poses.append(T.copy())
+        step = np.asarray(
+            lie.se3_exp(jnp.asarray([0.0, 0.0, 0.03, 0.25, 0.05, 0.0], np.float32))
+        )
+        T = (T @ step).astype(np.float32)
+    return poses
+
+
+def _run(odo, world, poses, skip_small=None):
+    results = []
+    for i, T_true in enumerate(poses):
+        if skip_small is not None and i == skip_small:
+            pts = np.zeros((4, 3), np.float32)  # below min_num_points
+        else:
+            pts = scan_at(world, T_true)
+        r = odo.process(PointCloud.from_numpy(pts), timestamp=0.1 * i)
+        results.append(r)
+    if hasattr(odo, "flush"):
+        odo.flush()
+    return results
+
+
+@pytest.mark.slow
+def test_pipelined_matches_sync():
+    world = make_world()
+    poses = _trajectory(8)
+
+    sync = LidarOdometry(small_params())
+    sync_est = []
+    for i, T_true in enumerate(poses):
+        r = sync.process(PointCloud.from_numpy(scan_at(world, T_true)), timestamp=0.1 * i)
+        assert r in (ResultType.success, ResultType.first_frame)
+        sync_est.append(sync.get_odometry())
+
+    pl = PipelinedLidarOdometry(small_params())
+    res = _run(pl, world, poses)
+    assert res[0] is ResultType.first_frame
+    assert all(r is ResultType.success for r in res[1:])
+    # authoritative per-frame outcomes arrive deferred
+    assert [rt for _, rt in pl.deferred_results] == [ResultType.success] * 7
+    assert len(pl.pose_log) == 7
+
+    # same trajectory within motion-predictor f32-vs-f64 noise (the device
+    # predictor only perturbs the ICP *initial guess*).  pose_log entry j
+    # is the (j+1)-th process call (the bootstrap frame is not logged).
+    for j, (idx, _, T_pl, _) in enumerate(pl.pose_log):
+        assert idx == j
+        T_sync, T_true = sync_est[j + 1], poses[j + 1]
+        np.testing.assert_allclose(T_pl[:3, 3], T_sync[:3, 3], atol=0.02)
+        np.testing.assert_allclose(T_pl[:3, :3], T_sync[:3, :3], atol=0.01)
+        err = np.linalg.norm(T_pl[:3, 3] - T_true[:3, 3])
+        assert err < 0.1, f"frame {idx}: drift {err:.3f} m"
+
+    # same keyframe policy and map occupancy
+    assert len(pl.get_keyframe_poses()) == len(sync.get_keyframe_poses())
+    vox_pl = int(np.asarray(pl.submap.map_state.used).sum())
+    vox_sync = int(np.asarray(sync.submap.map_state.used).sum())
+    assert abs(vox_pl - vox_sync) <= max(3, 0.02 * vox_sync)
+    assert int(pl.submap.map_state.dropped) == 0
+
+
+@pytest.mark.slow
+def test_pipelined_small_frame_holds_pose():
+    world = make_world()
+    poses = _trajectory(6)
+    pl = PipelinedLidarOdometry(small_params())
+    _run(pl, world, poses, skip_small=3)
+    # process call i logs as frame_index i-1 (bootstrap is not logged)
+    kinds = {i: rt for i, _, _, rt in pl.pose_log}
+    assert kinds[2] is ResultType.small_number_of_points
+    assert kinds[1] is ResultType.success and kinds[3] is ResultType.success
+    # the small frame must not move the pose
+    T_before = next(T for i, _, T, _ in pl.pose_log if i == 1)
+    T_small = next(T for i, _, T, _ in pl.pose_log if i == 2)
+    np.testing.assert_array_equal(T_before, T_small)
+    # and the stream recovers afterwards
+    T_last = next(T for i, _, T, _ in pl.pose_log if i == 4)
+    assert np.linalg.norm(T_last[:3, 3] - poses[5][:3, 3]) < 0.1
+
+
+@pytest.mark.slow
+def test_pipelined_growth_zero_loss():
+    import dataclasses
+
+    world = make_world()
+    poses = _trajectory(8)
+    p = small_params()
+    p = dataclasses.replace(
+        p, submap=dataclasses.replace(p.submap, map_capacity=256)
+    )
+    pl = PipelinedLidarOdometry(p)
+    res = _run(pl, world, poses)
+    assert all(r in (ResultType.success, ResultType.first_frame) for r in res)
+    assert pl.submap.map_capacity > 256  # growth fired (one frame late)
+    assert int(pl.submap.map_state.dropped) == 0
+    # trajectory survives the growth slow path
+    T_last = pl.pose_log[-1][2]
+    assert np.linalg.norm(T_last[:3, 3] - poses[-1][:3, 3]) < 0.15
+
+
+def test_pipelined_rejects_imu():
+    import dataclasses
+
+    p = small_params()
+    p = dataclasses.replace(p, imu=dataclasses.replace(p.imu, enable=True))
+    with pytest.raises(ValueError):
+        PipelinedLidarOdometry(p)
