@@ -13,16 +13,20 @@ path entirely:
 - **The motion predictor runs on device** (constant-velocity mode with the
   degeneracy-adaptive damping of ``adaptive_motion_predictor.hpp:56-97``,
   3x3 eigenvalues via :func:`utils.eigh3.eigvalsh3`).
-- **The stats fetch is deferred by exactly one frame**: frame *i* starts its
-  d2h transfer asynchronously (``copy_to_host_async``) and frame *i+1*
-  resolves it — the round trip overlaps the next frame's dispatch and device
-  compute instead of serializing with them.
+- **The stats fetch is adaptively deep-pipelined**: every frame starts its
+  d2h transfer asynchronously (``copy_to_host_async``) and frames resolve
+  whenever their transfer completes (``jax.Array.is_ready``), up to
+  ``max_in_flight`` outstanding.  Measured on the dev tunnel, small
+  transfers complete ~45-60 ms after dispatch *without serializing each
+  other*, so at a 10-15 ms frame period the host never blocks: results
+  lag ~4-6 frames and the steady-state wall time is dispatch-bound.
 
-The resolve point sits BETWEEN frame *i+1*'s registration dispatch
-(program A, which only reads the target cloud) and its submap dispatch
-(program B, which reads the hash-map state), so the rare growth/drop-retry
-slow path still sees at most one frame in flight and can roll back the
-stashed pre-insert map state exactly like the synchronous pipeline.
+The rare growth/drop-retry slow path reconciles the whole in-flight window:
+on an observed drop at frame *j* the map rolls back to *j*'s stashed
+pre-insert state, re-inserts *j* with growth, then re-applies the stashed
+sampled clouds of every later in-flight frame in order (their poses come
+from program A and are unaffected).  Growth-policy decisions from frames
+older than the reconciliation point are skipped.
 
 Semantics deltas vs the synchronous pipeline (both deliberate, both the
 standard cost of pipelining a readback):
@@ -91,6 +95,7 @@ class _Pending(NamedTuple):
     stats: jax.Array
     sampled: PointCloud
     prev_map_state: object
+    T_eff: jax.Array          # device pose handle (drop-retry re-insert)
     preprocessed: PointCloud
     prev_odom_np: np.ndarray  # host mirror at dispatch time (publish deskew)
     timestamp: float
@@ -113,7 +118,8 @@ class PipelinedLidarOdometry(LidarOdometry):
     """LiDAR odometry with a one-frame-deep readback pipeline."""
 
     def __init__(self, params: LidarOdometryParams = LidarOdometryParams(),
-                 map_prior_params: MapPriorParams = MapPriorParams()):
+                 map_prior_params: MapPriorParams = MapPriorParams(),
+                 max_in_flight: int = 8):
         if params.imu.enable:
             raise ValueError(
                 "PipelinedLidarOdometry requires imu.enable=False "
@@ -122,8 +128,17 @@ class PipelinedLidarOdometry(LidarOdometry):
             )
         super().__init__(params, map_prior_params)
         self._carry: Optional[OdomCarry] = None
-        self._pending: Optional[_Pending] = None
-        # authoritative per-frame outcomes, one frame behind dispatch:
+        from collections import deque
+
+        self._pending: "deque[_Pending]" = deque()
+        self._max_in_flight = max(1, max_in_flight)
+        # frames at or before this index had their map contribution
+        # reconciled by a drop-retry rebuild; skip their growth policy
+        self._reconciled_until = -1
+        # frames at or before this index dispatched before the last
+        # proactive growth; their stale load factors must not re-grow
+        self._load_grown_until = -1
+        # authoritative per-frame outcomes, a few frames behind dispatch:
         # (frame_index, timestamp, pose [4,4] np, ResultType)
         self.pose_log: list = []
         self.deferred_results: list = []
@@ -292,13 +307,7 @@ class PipelinedLidarOdometry(LidarOdometry):
         self.reg_result = result
         self.processing_times["3. registration"] += time.perf_counter() - t0
 
-        # ---- resolve the previous frame BETWEEN the dispatches: growth /
-        # drop-retry rebuild program B before this frame's submap update ----
-        t0 = time.perf_counter()
-        self._resolve_pending()
-        self.processing_times["4b. stats fetch"] += time.perf_counter() - t0
-
-        # ---- program B: submap update on the (possibly rebuilt) map ----
+        # ---- program B: submap update ----
         t0 = time.perf_counter()
         if self._fused_version != self.submap.version:
             self._build_submap_step()
@@ -315,27 +324,34 @@ class PipelinedLidarOdometry(LidarOdometry):
             use_pallas=self._use_pallas,
         )
         stats = self._stats_cat_jit(s1, s2)
-        stats.copy_to_host_async()  # transfer rides out the next frame
+        stats.copy_to_host_async()  # transfer rides out the following frames
         self.sync_count_last_frame += 1
-        self._pending = _Pending(
+        self._pending.append(_Pending(
             stats=stats, sampled=sampled, prev_map_state=prev_map_state,
-            preprocessed=self.preprocessed,
+            T_eff=T_eff, preprocessed=self.preprocessed,
             prev_odom_np=self.odom.copy(),
             timestamp=timestamp, dt=self.dt, frame_index=self.frame_count,
-        )
+        ))
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
+
+        # ---- adaptive drain: resolve every frame whose transfer landed;
+        # block only when the in-flight window is full ----
+        t0 = time.perf_counter()
+        while self._pending and (
+            len(self._pending) > self._max_in_flight
+            or self._pending[0].stats.is_ready()
+        ):
+            self._resolve_one(self._pending.popleft())
+        self.processing_times["4b. stats fetch"] += time.perf_counter() - t0
+
         self.frame_count += 1
         self.last_frame_time = timestamp
         return ResultType.success
 
     # ------------------------------------------------------------------
-    def _resolve_pending(self) -> None:
-        """Drain the in-flight frame: parse its stats (transfer typically
+    def _resolve_one(self, pend: _Pending) -> None:
+        """Resolve one in-flight frame: parse its stats (transfer usually
         already complete), commit host mirrors, run the growth policy."""
-        pend = self._pending
-        if pend is None:
-            return
-        self._pending = None
         stats = np.asarray(pend.stats)  # blocks only on transfer remainder
 
         T_np = stats[:16].reshape(4, 4).astype(np.float32)
@@ -390,21 +406,46 @@ class PipelinedLidarOdometry(LidarOdometry):
                 jnp.float32(self.dt),
             )
 
-        # growth policy (rare host slow path; syncs when it fires)
+        # growth policy (rare host slow path; syncs when it fires).  Frames
+        # whose map contribution was already reconciled by an earlier
+        # drop-retry rebuild report counters from the discarded chain —
+        # skip their growth decisions.
+        if pend.frame_index <= self._reconciled_until:
+            return
         dropped_delta = int(dropped) - self._dropped_seen
         if dropped_delta > 0:
+            # Roll back to this frame's pre-insert state, re-insert it with
+            # growth, then re-apply every LATER in-flight frame's stashed
+            # sampled cloud in order (their poses come from program A and
+            # are unaffected by the map rebuild; non-keyframe sampled
+            # clouds have empty masks, so re-applying them is a no-op).
             self.submap.map_state = pend.prev_map_state  # retry loses nothing
             self.submap.retry_insert_after_drop(pend.sampled, T_np)
+            for later in self._pending:
+                self.submap.retry_insert_after_drop(
+                    later.sampled, np.asarray(later.T_eff), grow_first=False
+                )
+                self._reconciled_until = later.frame_index
+            self._reconciled_until = max(self._reconciled_until, pend.frame_index)
             self._dropped_seen = int(self.submap.map_state.dropped)
             self.sync_count_last_frame += 3
         else:
             self._dropped_seen = int(dropped)
-            if float(load) > 0.7:
+            # Proactive growth: in-flight frames' load factors were measured
+            # on the pre-growth capacity, so gate the load check (NOT drop
+            # detection) until the frames dispatched before the growth have
+            # drained.
+            if float(load) > 0.7 and pend.frame_index > self._load_grown_until:
                 self.submap._grow_map()
+                self._load_grown_until = (
+                    self._pending[-1].frame_index if self._pending
+                    else pend.frame_index
+                )
 
     def flush(self) -> None:
-        """Resolve the last in-flight frame (call once after the stream)."""
-        self._resolve_pending()
+        """Resolve all in-flight frames (call once after the stream)."""
+        while self._pending:
+            self._resolve_one(self._pending.popleft())
 
     # -- accessors ----------------------------------------------------------
     def get_odometry(self) -> np.ndarray:

@@ -274,16 +274,23 @@ class Submap:
             ),
         )
 
-    def retry_insert_after_drop(self, sampled: PointCloud, pose_np) -> None:
+    def retry_insert_after_drop(self, sampled: PointCloud, pose_np,
+                                grow_first: bool = True) -> None:
         """Slow-path growth retry for the fused frame step: the caller
         restored the pre-insert ``map_state`` after observing probe-exhaustion
         drops, so growing and re-running the SAME insert loses nothing
         (reference rehash-under-load, voxel_hash_map.hpp:121-124, 847-934).
-        Host syncs here are fine — drops are rare by construction."""
+        Host syncs here are fine — drops are rare by construction.
+
+        ``grow_first=False`` tries the insert at the current capacity before
+        growing (used by the pipelined drop-retry to re-apply the stashed
+        clouds of later in-flight frames, which usually fit after the first
+        growth)."""
         pose_j = jnp.asarray(pose_np, dtype=jnp.float32)
         max_grow = 8
         for attempt in range(max_grow):
-            self._grow_map()
+            if grow_first or attempt > 0:
+                self._grow_map()
             new_state, extracted, load, overflow = self._insert_extract(
                 self.map_state, sampled, pose_j
             )

@@ -109,10 +109,13 @@ def test_pipelined_growth_zero_loss():
     p = dataclasses.replace(
         p, submap=dataclasses.replace(p.submap, map_capacity=256)
     )
-    pl = PipelinedLidarOdometry(p)
+    # max_in_flight=2 forces the drop to be detected while later frames
+    # are in flight, exercising the multi-frame reconcile (rollback +
+    # grow-retry + re-apply of the stashed later inserts)
+    pl = PipelinedLidarOdometry(p, max_in_flight=2)
     res = _run(pl, world, poses)
     assert all(r in (ResultType.success, ResultType.first_frame) for r in res)
-    assert pl.submap.map_capacity > 256  # growth fired (one frame late)
+    assert pl.submap.map_capacity > 256  # growth fired (frames late)
     assert int(pl.submap.map_state.dropped) == 0
     # trajectory survives the growth slow path
     T_last = pl.pose_log[-1][2]
