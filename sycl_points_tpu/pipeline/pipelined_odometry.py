@@ -17,9 +17,12 @@ path entirely:
   d2h transfer asynchronously (``copy_to_host_async``) and frames resolve
   whenever their transfer completes (``jax.Array.is_ready``), up to
   ``max_in_flight`` outstanding.  Measured on the dev tunnel, small
-  transfers complete ~45-60 ms after dispatch *without serializing each
-  other*, so at a 10-15 ms frame period the host never blocks: results
-  lag ~4-6 frames and the steady-state wall time is dispatch-bound.
+  transfers complete ~45-70 ms after dispatch *without serializing each
+  other*, so with a window deeper than latency/frame-period (16 covers a
+  ~7 ms dispatch pace) the host never blocks: results lag a few frames
+  and the steady-state wall time is dispatch-bound.  The latest pose is
+  always available on device (the carry) for any consumer willing to pay
+  one fetch.
 
 The rare growth/drop-retry slow path reconciles the whole in-flight window:
 on an observed drop at frame *j* the map rolls back to *j*'s stashed
@@ -119,7 +122,7 @@ class PipelinedLidarOdometry(LidarOdometry):
 
     def __init__(self, params: LidarOdometryParams = LidarOdometryParams(),
                  map_prior_params: MapPriorParams = MapPriorParams(),
-                 max_in_flight: int = 8):
+                 max_in_flight: int = 16):
         if params.imu.enable:
             raise ValueError(
                 "PipelinedLidarOdometry requires imu.enable=False "
