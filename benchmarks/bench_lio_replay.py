@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--json", default=None)
     ap.add_argument("--rings", type=int, default=64)
     ap.add_argument("--az", type=int, default=2048)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="PipelinedLidarInertialOdometry (deferred stats fetch)")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
@@ -81,7 +83,14 @@ def main():
             gyro_bias_rw_density=1e-5, accel_bias_rw_density=1e-4,
         )),
     )
-    odo = LidarInertialOdometry(params)
+    if args.pipelined:
+        from sycl_points_tpu.pipeline.pipelined_lio import (
+            PipelinedLidarInertialOdometry,
+        )
+
+        odo = PipelinedLidarInertialOdometry(params)
+    else:
+        odo = LidarInertialOdometry(params)
     # Known initial state: the figure-8 starts already in motion, so seed the
     # filter with the true initial velocity (the reference initializes from
     # rest or its alignment phase; an unseeded start just adds a transient).
@@ -135,7 +144,8 @@ def main():
         t0 = time.perf_counter()
         r = odo.process(cloud, timestamp=ts)
         dt = time.perf_counter() - t0
-        est_poses.append(np.asarray(odo.odom).copy())
+        if not args.pipelined:
+            est_poses.append(np.asarray(odo.odom).copy())
         if odo.last_imu_reset_timestamp != prev_reset:
             reset_count += 1
             prev_reset = odo.last_imu_reset_timestamp
@@ -153,6 +163,15 @@ def main():
             })
             print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
 
+    if args.pipelined:
+        odo.flush()
+        n_ok = 1 + sum(
+            1 for _, rt in odo.deferred_results if rt is ResultType.success
+        )
+        est_poses = [np.asarray(poses[0], np.float32)] + [
+            T for _, _, T, _ in odo.pose_log
+        ]
+
     n = max(len(frame_times), 1)
     gt = np.stack([p[:3, 3] for p in poses])
     est = np.stack([p[:3, 3] for p in est_poses])
@@ -161,6 +180,7 @@ def main():
     out = {
         "config": "lio-replay",
         "frames": args.frames,
+        "pipelined": args.pipelined,
         "frames_ok": n_ok,
         "imu_hz": args.imu_hz,
         "map_type": params.submap.map_type,

@@ -334,7 +334,13 @@ class LidarInertialOdometry:
             )
             return ResultType.first_frame
 
-        # ---- fused frame: ONE device->host sync ---------------------------
+        return self._process_fused(pre, timestamp)
+
+    # ------------------------------------------------------------------
+    def _process_fused(self, pre: PointCloud, timestamp: float) -> ResultType:
+        """Fused inertial frame: ONE device->host sync (overridden by the
+        deep-pipelined variant in pipeline/pipelined_lio.py)."""
+        p = self.params
         t0 = time.perf_counter()
         window = build_measurement_window(
             list(self.imu_buffer), self.last_imu_reset_timestamp, timestamp
