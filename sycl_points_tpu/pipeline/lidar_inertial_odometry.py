@@ -44,7 +44,10 @@ from sycl_points_tpu.imu.preintegration import (
 from sycl_points_tpu.lio import lio_registration as lio
 from sycl_points_tpu.ops.knn import BruteForceKNN
 from sycl_points_tpu.ops.sampling import random_sampling
-from sycl_points_tpu.pipeline.fused_submap import build_submap_step
+from sycl_points_tpu.pipeline.fused_submap import (
+    build_submap_step,
+    start_growth_precompile,
+)
 from sycl_points_tpu.pipeline.params import LidarInertialOdometryParams
 from sycl_points_tpu.pipeline.pc_processor import PCProcessor
 from sycl_points_tpu.pipeline.submap import Submap
@@ -74,6 +77,7 @@ class LidarInertialOdometry:
         self.submap = Submap(params)
         self._use_pallas = jax.default_backend() in ("tpu", "axon")
         self._stats_cat_jit = jax.jit(lambda a, b: jnp.concatenate([a, b]))
+        self.growth_precompile = True
         self._build_lio_step()
         self._fused_version = -1
 
@@ -248,9 +252,16 @@ class LidarInertialOdometry:
         self._lio_step_jit = jax.jit(_lio_step)
 
     def _build_submap_step(self):
-        self._submap_step_jit = build_submap_step(
-            self.params, self.submap, self._use_pallas, robust_scale=None
+        self._submap_robust_scale = None
+        cached = getattr(self, "_prebuilt_submap", {}).get(
+            self.submap.map_capacity
         )
+        if cached is not None:
+            self._submap_step_jit = cached
+        else:
+            self._submap_step_jit = build_submap_step(
+                self.params, self.submap, self._use_pallas, robust_scale=None
+            )
         self._fused_version = self.submap.version
 
     # ------------------------------------------------------------------
@@ -373,9 +384,12 @@ class LidarInertialOdometry:
         if self._fused_version != self.submap.version:
             self._build_submap_step()
         prev_map_state = self.submap.map_state
-        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(
+        submap_args = (
             prev_map_state, self.submap.submap_cloud, reg_input, T_eff, is_kf, k2
         )
+        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
+        if self.growth_precompile:
+            start_growth_precompile(self, None, submap_args)
 
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
         t0 = time.perf_counter()

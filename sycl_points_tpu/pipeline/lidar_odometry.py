@@ -40,7 +40,10 @@ from sycl_points_tpu.imu.preintegration import (
 )
 from sycl_points_tpu.imu.velocity_corrector import IMUVelocityCorrector
 from sycl_points_tpu.ops.knn import BruteForceKNN
-from sycl_points_tpu.pipeline.fused_submap import build_submap_step
+from sycl_points_tpu.pipeline.fused_submap import (
+    build_submap_step,
+    start_growth_precompile,
+)
 from sycl_points_tpu.pipeline.motion_predictor import MotionPredictor
 from sycl_points_tpu.pipeline.params import LidarOdometryParams
 from sycl_points_tpu.pipeline.pc_processor import PCProcessor
@@ -81,6 +84,9 @@ class LidarOdometry:
 
         self._deskew_jit = jax.jit(deskew_constant_velocity)
         self._stats_cat_jit = jax.jit(lambda a, b: jnp.concatenate([a, b]))
+        # compile the NEXT growth capacity's submap program in a background
+        # thread so growth swaps in a ready executable (set False to disable)
+        self.growth_precompile = True
         self._build_reg_step()
         self._fused_version = -1  # forces _build_submap_step on first use
 
@@ -215,15 +221,24 @@ class LidarOdometry:
     def _build_submap_step(self):
         """Program B (re-jitted after every map-capacity growth): keyframe
         submap update under ``lax.cond`` — see
-        :mod:`sycl_points_tpu.pipeline.fused_submap`."""
+        :mod:`sycl_points_tpu.pipeline.fused_submap`.  A growth event first
+        checks the background-precompiled program for the new capacity
+        (``start_growth_precompile``) before paying a fresh compile."""
         robust_scale = (
             self.pipeline_params.robust.min_scale
             if self.pipeline_params.robust.auto_scale
             else self.params.registration.factor.robust.default_scale
         )
-        self._submap_step_jit = build_submap_step(
-            self.params, self.submap, self._use_pallas, robust_scale
+        self._submap_robust_scale = robust_scale
+        cached = getattr(self, "_prebuilt_submap", {}).get(
+            self.submap.map_capacity
         )
+        if cached is not None:
+            self._submap_step_jit = cached
+        else:
+            self._submap_step_jit = build_submap_step(
+                self.params, self.submap, self._use_pallas, robust_scale
+            )
         self._fused_version = self.submap.version
 
     # -- IMU input (lidar_odometry.hpp:85-113) -------------------------------
@@ -419,9 +434,12 @@ class LidarOdometry:
             self._build_submap_step()
         self.submap._key, k1 = jax.random.split(self.submap._key)
         prev_map_state = self.submap.map_state
-        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(
+        submap_args = (
             prev_map_state, self.submap.submap_cloud, deskewed, T_eff, is_kf, k1
         )
+        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
+        if self.growth_precompile:
+            start_growth_precompile(self, self._submap_robust_scale, submap_args)
 
         # ---- THE one fused device->host readback ---------------------------
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0

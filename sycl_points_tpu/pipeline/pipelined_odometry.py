@@ -64,6 +64,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sycl_points_tpu.ops.knn import BruteForceKNN
+from sycl_points_tpu.pipeline.fused_submap import start_growth_precompile
 from sycl_points_tpu.pipeline.lidar_odometry import _S1, LidarOdometry, ResultType
 from sycl_points_tpu.pipeline.params import LidarOdometryParams
 from sycl_points_tpu.points.point_cloud import PointCloud
@@ -316,9 +317,12 @@ class PipelinedLidarOdometry(LidarOdometry):
             self._build_submap_step()
         self.submap._key, k1 = jax.random.split(self.submap._key)
         prev_map_state = self.submap.map_state
-        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(
+        submap_args = (
             prev_map_state, self.submap.submap_cloud, deskewed, T_eff, is_kf, k1
         )
+        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
+        if self.growth_precompile:
+            start_growth_precompile(self, self._submap_robust_scale, submap_args)
         # commit device handles (no sync)
         self.submap.map_state = new_map_state
         self.submap.submap_cloud = new_submap

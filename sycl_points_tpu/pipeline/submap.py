@@ -109,18 +109,12 @@ class Submap:
         self._finalize_jit = jax.jit(self.finalize_traced)
 
     # ------------------------------------------------------------------
-    def _rebuild_insert_extract(self):
-        """(Re)build the insert+extract closure for the CURRENT map config —
-        called at init and after every capacity growth.  The fused call also
-        returns the post-insert load factor so the host growth policy needs
-        no extra device round trip.  ``insert_extract_fn`` is the raw
-        traceable function (embedded in the fused per-frame program by
-        LidarOdometry); ``version`` lets dependents notice growth re-jits.
-        """
+    def make_insert_extract(self, cfg):
+        """Build the insert+extract traceable for an ARBITRARY map config
+        (pure closure over ``cfg``; does not touch mutable state — safe to
+        call from the background growth-precompile thread)."""
         sp_ = self.params.submap
         if self.is_occupancy:
-            cfg = self.og_config
-
             def _ie(st, cl, pose):
                 ns = og.add_point_cloud(st, cfg, cl, pose)
                 extracted, overflow = og.extract_occupied_points(
@@ -130,8 +124,6 @@ class Submap:
                 )
                 return ns, extracted, og.load_factor(ns, cfg), overflow
         else:
-            cfg = self.vhm_config
-
             def _ie(st, cl, pose):
                 ns = vhm.add_point_cloud(st, cfg, cl, pose)
                 # staleness pruning every remove_old_data_cycle inserts
@@ -149,9 +141,29 @@ class Submap:
                     with_covs=False, with_overflow=True,
                 )
                 return ns, extracted, vhm.load_factor(ns, cfg), overflow
+        return _ie
 
-        self.insert_extract_fn = _ie
-        self._insert_extract = jax.jit(_ie)
+    @property
+    def map_config(self):
+        return self.og_config if self.is_occupancy else self.vhm_config
+
+    def peek_grown_config(self):
+        """The config a growth WOULD produce (matches og/vhm.grow)."""
+        import dataclasses as _dc
+
+        cfg = self.map_config
+        return _dc.replace(cfg, capacity=cfg.capacity * 2)
+
+    def _rebuild_insert_extract(self):
+        """(Re)build the insert+extract closure for the CURRENT map config —
+        called at init and after every capacity growth.  The fused call also
+        returns the post-insert load factor so the host growth policy needs
+        no extra device round trip.  ``insert_extract_fn`` is the raw
+        traceable function (embedded in the fused per-frame program by
+        LidarOdometry); ``version`` lets dependents notice growth re-jits.
+        """
+        self.insert_extract_fn = self.make_insert_extract(self.map_config)
+        self._insert_extract = jax.jit(self.insert_extract_fn)
         self.version = getattr(self, "version", 0) + 1
 
     def _grow_map(self):

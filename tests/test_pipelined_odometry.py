@@ -129,3 +129,34 @@ def test_pipelined_rejects_imu():
     p = dataclasses.replace(p, imu=dataclasses.replace(p.imu, enable=True))
     with pytest.raises(ValueError):
         PipelinedLidarOdometry(p)
+
+
+@pytest.mark.slow
+def test_growth_precompile_swaps_in_prebuilt():
+    import time as _time
+
+    world = make_world()
+    poses = _trajectory(4)
+    pl = PipelinedLidarOdometry(small_params())
+    _run(pl, world, poses)
+
+    # the background thread publishes the next capacity's compiled program
+    next_cap = pl.submap.map_capacity * 2
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if next_cap in getattr(pl, "_prebuilt_submap", {}):
+            break
+        _time.sleep(0.5)
+    assert next_cap in pl._prebuilt_submap, "precompile never landed"
+
+    # growth must swap in the prebuilt jit, and the pipeline keeps working
+    pl.submap._grow_map()
+    pl._build_submap_step()
+    assert pl._submap_step_jit is pl._prebuilt_submap[next_cap]
+    more = _trajectory(6)[4:]
+    for j, T_true in enumerate(more):
+        pts = scan_at(world, T_true)
+        r = pl.process(PointCloud.from_numpy(pts), timestamp=0.1 * (4 + j))
+        assert r is ResultType.success
+    pl.flush()
+    assert int(pl.submap.map_state.dropped) == 0
