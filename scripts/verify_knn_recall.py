@@ -28,11 +28,13 @@ from sycl_points_tpu.points import io
 from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 
 REF_DATA = "/root/reference/cpp/data"
-# Floors: 0.97 at the operating k of the covariance path (k=10).  High-k
-# call sites (robust-covariance MAX_K tiers) auto-select recall_target 0.98
-# (ops/knn.py), measured ~0.98+ recall at k=20 on the Velodyne-density
-# cloud, so the 0.965 floor carries >=1.5 pt margin.
-RECALL_FLOORS = {10: 0.97, 20: 0.965}
+# Floors: 0.97 at the operating k of the covariance path (k=10, single-pass
+# recall 0.983 measured).  k>=16 call sites (robust-covariance MAX_K tiers)
+# auto-select the TWO-PASS union (ops/knn.py approx_knn: a second
+# stride-permuted PartialReduce pass gives an independent window partition;
+# exact top-k of the union measured 0.999 recall at k=20 vs 0.955
+# single-pass), so the k=20 floor sits at 0.98 with ~1.9 pt margin.
+RECALL_FLOORS = {10: 0.97, 20: 0.98}
 
 
 def recall_on(cloud: PointCloud, k: int) -> float:
@@ -91,8 +93,8 @@ def main():
             print(rows[-1], flush=True)
             ok &= r >= RECALL_FLOORS[k]
 
-    # cost delta of the k=20 recall_target raise (0.95 -> auto 0.98),
-    # marginal in-program protocol
+    # cost of the k=20 two-pass union vs single-pass, marginal in-program
+    # protocol
     import time
     import jax.numpy as jnp
     cloud = velodyne_cloud()
@@ -115,17 +117,16 @@ def main():
             ts[n] = best
         return (ts[reps[1]] - ts[reps[0]]) / (reps[1] - reps[0]) * 1e3
 
-    def body_at(target):
+    def body_at(two_pass):
         def body(i, acc):
             p = cloud.points + 1e-12 * acc
-            r = approx_knn(p, cloud.mask, p, 20, recall_target=target)
+            r = approx_knn(p, cloud.mask, p, 20, two_pass=two_pass)
             return acc + r.distances[0, 0]
         return body
 
     cost = {
-        "k20_ms_target_0.95": round(marginal_ms(body_at(0.95)), 3),
-        "k20_ms_target_0.97": round(marginal_ms(body_at(0.97)), 3),
-        "k20_ms_target_0.98": round(marginal_ms(body_at(0.98)), 3),
+        "k20_ms_single_pass": round(marginal_ms(body_at(False)), 3),
+        "k20_ms_two_pass": round(marginal_ms(body_at(True)), 3),
     }
     print(cost, flush=True)
 

@@ -22,6 +22,7 @@ ICP can re-search correspondences each iteration without rewriting the cloud.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -156,6 +157,7 @@ def approx_knn(
     pose: Optional[jax.Array] = None,
     chunk: int = 16384,
     recall_target: Optional[float] = None,
+    two_pass: Optional[bool] = None,
 ) -> KNNResult:
     """Approximate KNN via ``lax.approx_max_k`` (the TPU PartialReduce op).
 
@@ -167,28 +169,70 @@ def approx_knn(
     here).  On CPU ``approx_max_k`` lowers to an exact top_k, so CPU test
     behavior is identical to the exact path.
 
+    High-k recall (``two_pass``, auto at k>=16): the PartialReduce keeps a
+    bounded number of candidates per contiguous window, so true neighbors
+    that cluster in one window are lost NO MATTER the requested k or
+    recall_target — measured on the Velodyne-density cloud at k=20, recall
+    was 0.9549 for k=20/28/32 and recall_target 0.95/0.97/0.98 alike.  A
+    second pass over a stride-permuted target order gives an INDEPENDENT
+    window partition; the exact top-k of the union reaches 0.999 recall at
+    ~2.9x single-pass cost (still ~2x cheaper than exact, 210 ms).  The
+    k>=16 call sites are the robust-covariance MAX_K tiers (SURVEY 2.5).
+
     Targets beyond ``chunk`` are processed by a scan whose per-chunk
     approximate top-k results merge through a final exact top-k (k is tiny).
     """
     if pose is not None:
         query_points = transform_points(query_points, pose)
+    if two_pass is None:
+        two_pass = k >= 16
+    if recall_target is None:
+        recall_target = 0.95  # per-pass sweet spot (scripts/KNN_RECALL.json)
+
+    r1 = _approx_knn_single(
+        target_points, target_mask, query_points, k, chunk, recall_target
+    )
+    if not two_pass:
+        return r1
+
+    M = target_points.shape[0]
+    P = 2654435761 % max(M, 2)
+    P |= 1
+    while math.gcd(P, M) != 1:  # bijection for arbitrary M
+        P += 2
+    perm = (
+        (jnp.arange(M, dtype=jnp.uint32) * jnp.uint32(P)) % jnp.uint32(M)
+    ).astype(jnp.int32)
+    r2p = _approx_knn_single(
+        target_points[perm], target_mask[perm], query_points, k, chunk,
+        recall_target,
+    )
+    idx = jnp.concatenate([r1.indices, perm[r2p.indices]], axis=1)  # [Q, 2k]
+    d2 = jnp.concatenate([r1.distances, r2p.distances], axis=1)
+    # exact top-k of the union: payload sort by index (rule 5: payloads ride
+    # the sort, no argsort+gather), neighbor-dedup, then top-k by distance
+    idx_s, d2_s = jax.lax.sort((idx, d2), num_keys=1, dimension=1)
+    dup = (idx_s == jnp.roll(idx_s, 1, axis=1)).at[:, 0].set(False)
+    d2_s = jnp.where(dup, jnp.inf, d2_s)
+    neg, sel = jax.lax.top_k(-d2_s, k)
+    return KNNResult(
+        jnp.take_along_axis(idx_s, sel, axis=1), jnp.maximum(-neg, 0.0)
+    )
+
+
+def _approx_knn_single(
+    target_points: jax.Array,
+    target_mask: jax.Array,
+    query_points: jax.Array,
+    k: int,
+    chunk: int,
+    recall_target: float,
+) -> KNNResult:
+    """One PartialReduce pass (see :func:`approx_knn`)."""
     M = target_points.shape[0]
     Q = query_points.shape[0]
     chunk = min(chunk, round_up(M, 128))
     n_chunks = -(-M // chunk)
-
-    # recall_target auto-policy (measured, scripts/KNN_RECALL.json): 0.95 is
-    # the sweet spot at the operating k=10 (on-chip recall 0.983 on a
-    # Velodyne-density cloud) while raising the target to 0.99 makes the
-    # PartialReduce nearly exact-cost (self-KNN 0.44 -> 3.99 ms, headline
-    # pairs 5.0 -> 10.9 ms).  At k>=16 the measured recall over the 0.965
-    # floor thins (0.968 at k=20 with target 0.97 on the Velodyne-density
-    # cloud — one PartialReduce behavior change would eat it), so high-k
-    # call sites (robust covariance MAX_K tiers, SURVEY 2.5) get 0.98;
-    # the cost delta is measured per round by scripts/verify_knn_recall.py.
-    # Pass recall_target explicitly to override.
-    if recall_target is None:
-        recall_target = 0.95 if k < 16 else 0.98
 
     # The score is built as 2*q.t - |q|^2 - |t|^2 (= -d2) with the validity
     # mask FOLDED INTO |t|^2 as -inf: one fused matmul epilogue instead of
