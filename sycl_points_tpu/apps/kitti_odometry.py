@@ -68,6 +68,10 @@ def main(argv=None):
     ap.add_argument("--lio", action="store_true",
                     help="run the LiDAR-inertial pipeline (requires an IMU "
                          "stream; without one LIO degrades to a loose prior)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="deep-pipelined pipeline (device-resident state, "
+                         "async deferred stats; poses resolve a few frames "
+                         "behind and are flushed at the end)")
     args = ap.parse_args(argv)
 
     files = sorted(glob.glob(os.path.join(args.velodyne_dir, "*.bin")))
@@ -87,12 +91,26 @@ def main(argv=None):
                 scan=default_kitti_params().scan, imu=IMUParams(enable=True)
             )
         )
-        lo = LidarInertialOdometry(params)
+        if args.pipelined:
+            from sycl_points_tpu.pipeline.pipelined_lio import (
+                PipelinedLidarInertialOdometry,
+            )
+
+            lo = PipelinedLidarInertialOdometry(params)
+        else:
+            lo = LidarInertialOdometry(params)
     else:
         params = (
             load_params(args.config, LidarOdometryParams) if args.config else default_kitti_params()
         )
-        lo = LidarOdometry(params)
+        if args.pipelined:
+            from sycl_points_tpu.pipeline.pipelined_odometry import (
+                PipelinedLidarOdometry,
+            )
+
+            lo = PipelinedLidarOdometry(params)
+        else:
+            lo = LidarOdometry(params)
 
     # fixed raw capacity tier for zero recompiles across frames
     first = read_kitti_bin(files[0])
@@ -110,16 +128,26 @@ def main(argv=None):
         result = lo.process(cloud, ts)
         if result not in (ResultType.success, ResultType.first_frame):
             print(f"frame {i}: {result.value} ({lo.error_message})", file=sys.stderr)
-        stamps.append(ts)
-        poses.append(lo.get_odometry())
+        if not args.pipelined:
+            stamps.append(ts)
+            poses.append(lo.get_odometry())
         if i % 10 == 0:
             elapsed = time.perf_counter() - t_start
+            t_last = (
+                np.round(poses[-1][:3, 3], 2) if poses
+                else np.round(np.asarray(lo.get_odometry())[:3, 3], 2)
+            )
             print(
-                f"frame {i}/{len(files)}  t={np.round(poses[-1][:3, 3], 2)}  "
+                f"frame {i}/{len(files)}  t={t_last}  "
                 f"({elapsed / max(i, 1) * 1e3:.0f} ms/frame)",
                 file=sys.stderr,
             )
 
+    if args.pipelined:
+        lo.flush()
+        first_pose = np.asarray(params.pose.initial_matrix(), np.float32)
+        stamps = [0.0] + [t for _, t, _, _ in lo.pose_log]
+        poses = [first_pose] + [T for _, _, T, _ in lo.pose_log]
     write_tum(args.out, stamps, poses)
     total = time.perf_counter() - t_start
     print(f"{len(files)} frames in {total:.1f}s ({total / len(files) * 1e3:.1f} ms/frame)")

@@ -143,3 +143,24 @@ def test_pointcloud2_round_trip():
         back["timestamp_offsets"], cloud["timestamp_offsets"], atol=1e-4
     )
     np.testing.assert_allclose(back["rgb"][:, :3], cloud["rgb"][:, :3], atol=1 / 255.0)
+
+
+def test_kitti_runner_pipelined_smoke(tmp_path):
+    """The --pipelined runner flushes deferred poses into the TUM output."""
+    from sycl_points_tpu.apps.kitti_odometry import main
+
+    world = RNG.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    world[:, 2] *= 0.2
+    vel = tmp_path / "velodyne"
+    vel.mkdir()
+    for i in range(3):
+        shift = np.array([0.2 * i, 0, 0], np.float32)
+        pts = (world - shift).astype(np.float32)
+        raw = np.concatenate([pts, RNG.uniform(size=(len(pts), 1)).astype(np.float32)], 1)
+        raw.tofile(vel / f"{i:06d}.bin")
+    out = tmp_path / "traj.tum"
+    rc = main([str(vel), "--out", str(out), "--max-frames", "3", "--pipelined"])
+    assert rc == 0
+    traj = np.loadtxt(out)
+    assert traj.shape == (3, 8)
+    assert 0.1 < traj[-1, 1] < 0.7
