@@ -66,6 +66,11 @@ def main():
     ap.add_argument("--pipelined", action="store_true",
                     help="PipelinedLidarOdometry: device-resident state + "
                          "one-frame-deferred async stats fetch")
+    ap.add_argument("--precompile-growth", type=int, default=0, metavar="CAP",
+                    help="after the first fused frame, synchronously compile "
+                         "every map-growth step up to CAP (the deployment "
+                         "warm-start for growth-heavy streams); the cost is "
+                         "reported as growth_precompile_s, outside frame stats")
     args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
@@ -124,6 +129,7 @@ def main():
     failed_frames = []
     cap_seen = odo.submap.map_capacity
     n_ok = 0
+    precompile_s = None
     for i, pts_np in enumerate(scans_np):
         cloud = PointCloud.from_numpy(pts_np, capacity=raw_cap)  # untimed h2d
         t0 = time.perf_counter()
@@ -147,6 +153,12 @@ def main():
                 stage_sums[k] = stage_sums.get(k, 0.0) + v
         if i in (0, 1, args.warmup):
             print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
+        if i == 1 and args.precompile_growth:
+            t0 = time.perf_counter()
+            steps = odo.precompile_growth(args.precompile_growth, wait=True)
+            precompile_s = round(time.perf_counter() - t0, 1)
+            print(f"growth ladder: {steps} steps precompiled in {precompile_s} s",
+                  file=sys.stderr, flush=True)
 
     if args.pipelined:
         odo.flush()
@@ -177,7 +189,8 @@ def main():
         "run_params": {"speed": args.speed, "map_voxel": args.map_voxel,
                        "map_capacity_initial": args.map_capacity,
                        "kf_points": args.kf_points,
-                       "pipelined": args.pipelined},
+                       "pipelined": args.pipelined,
+                       "growth_precompile_s": precompile_s},
         "frames_ok": n_ok,
         "map_type": params.submap.map_type,
         "raw_points_per_scan": int(raw_cap),

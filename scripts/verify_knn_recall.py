@@ -12,6 +12,7 @@ Run on the chip: python scripts/verify_knn_recall.py
 """
 
 import json
+from functools import partial
 import os
 import sys
 
@@ -39,8 +40,10 @@ RECALL_FLOORS = {10: 0.97, 20: 0.98}
 
 def recall_on(cloud: PointCloud, k: int) -> float:
     """Fraction of exact k-NN indices found by approx_knn (per query set)."""
-    approx = approx_knn(cloud.points, cloud.mask, cloud.points, k)
-    exact = brute_force_knn(cloud.points, cloud.mask, cloud.points, k)
+    # jit both searches: eager op-by-op dispatch over the dev tunnel is one
+    # round trip per op and looks like a stall to the runner's watchdog
+    approx = jax.jit(partial(approx_knn, k=k))(cloud.points, cloud.mask, cloud.points)
+    exact = jax.jit(partial(brute_force_knn, k=k))(cloud.points, cloud.mask, cloud.points)
     ai = np.asarray(approx.indices)
     ei = np.asarray(exact.indices)
     mask = np.asarray(cloud.mask)

@@ -118,51 +118,168 @@ def build_submap_step(params, submap, use_pallas: bool,
     return jax.jit(_submap_step)
 
 
-def start_growth_precompile(pipeline, robust_scale, call_args) -> None:
-    """Compile the NEXT map capacity's submap program in a background
-    daemon thread, so a growth event swaps in a ready executable instead of
-    stalling the frame stream for the 15-30 s growth recompile.
+def _struct(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+    )
+
+
+# In-flight precompile threads, joined at interpreter exit: a daemon thread
+# killed inside a PJRT compile aborts the whole process ("terminate called
+# ... FATAL: exception not rethrown") during teardown.
+_INFLIGHT: list = []
+
+
+def _join_inflight():
+    for t in list(_INFLIGHT):
+        t.join(timeout=300)
+
+
+import atexit as _atexit
+
+_atexit.register(_join_inflight)
+
+
+def _spawn_precompile(work, name: str) -> None:
+    import threading
+
+    _INFLIGHT[:] = [t for t in _INFLIGHT if t.is_alive()]
+    t = threading.Thread(target=work, daemon=True, name=name)
+    _INFLIGHT.append(t)
+    t.start()
+
+
+def _sampled_struct(params, deskewed) -> PointCloud:
+    """Shape/dtype signature of the sampled keyframe cloud the samplers (and
+    ``_zeros_sampled``) produce from a ``deskewed``-shaped input."""
+    num = params.submap.point_random_sampling_num
+    cap = num if num < deskewed.capacity else deskewed.capacity
+    sds = lambda a: (
+        None if a is None else jax.ShapeDtypeStruct((cap,) + a.shape[1:], a.dtype)
+    )
+    return PointCloud(
+        points=jax.ShapeDtypeStruct((cap, 3), jnp.float32),
+        mask=jax.ShapeDtypeStruct((cap,), jnp.bool_),
+        covs=sds(deskewed.covs), normals=sds(deskewed.normals),
+        rgb=sds(deskewed.rgb), intensities=sds(deskewed.intensities),
+        timestamp_offsets=sds(deskewed.timestamp_offsets),
+    )
+
+
+def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
+    """Compile and publish the THREE programs a growth event from ``cfg``
+    pays for: the rehash (grow) program ``cfg -> 2x``, the standalone
+    insert+extract jit at the grown capacity (``retry_insert_after_drop`` /
+    legacy ``_build_submap``), and the fused submap-step program at the
+    grown capacity.  Returns the grown config.  Idempotent per capacity —
+    already-published programs are skipped."""
+    import dataclasses as _dc
+
+    submap = pipeline.submap
+    if submap.is_occupancy:
+        from sycl_points_tpu.mapping import occupancy_grid as _m
+    else:
+        from sycl_points_tpu.mapping import voxel_hash_map as _m
+    next_cfg = _dc.replace(cfg, capacity=cfg.capacity * 2)
+    state_struct = jax.eval_shape(lambda: _m.create(cfg))
+    next_state_struct = jax.eval_shape(lambda: _m.create(next_cfg))
+
+    if cfg.capacity not in submap._grow_cache:
+        gfn = jax.jit(lambda st, _c=cfg: _m.grow(st, _c)[0])
+        gfn.lower(state_struct).compile()
+        submap._grow_cache[cfg.capacity] = gfn
+
+    if next_cfg.capacity not in submap._prebuilt_ie:
+        iefn = jax.jit(submap.make_insert_extract(next_cfg))
+        sampled = _sampled_struct(pipeline.params, arg_structs[2])
+        pose = jax.ShapeDtypeStruct((4, 4), jnp.float32)
+        iefn.lower(next_state_struct, sampled, pose).compile()
+        submap._prebuilt_ie[next_cfg.capacity] = iefn
+
+    prebuilt = getattr(pipeline, "_prebuilt_submap", {})
+    pipeline._prebuilt_submap = prebuilt
+    if next_cfg.capacity not in prebuilt:
+        fn = build_submap_step(
+            pipeline.params, submap, pipeline._use_pallas, robust_scale,
+            ie=submap.make_insert_extract(next_cfg), cfg=next_cfg,
+        )
+        fn.lower(next_state_struct, *arg_structs[1:]).compile()
+        prebuilt[next_cfg.capacity] = fn
+    return next_cfg
+
+
+def start_growth_precompile(
+    pipeline, robust_scale, call_args, steps_ahead: int = 2,
+    enabled: bool = True,
+) -> None:
+    """Compile the next ``steps_ahead`` map capacities' growth programs in a
+    background daemon thread, so a growth event swaps in ready executables
+    instead of stalling the frame stream for 15-30 s recompiles.  Two steps
+    ahead because a drop-retry can double the capacity twice within one
+    frame (probe exhaustion recurring after the first doubling).
 
     ``call_args`` are the concrete arguments of a just-dispatched submap
     step — their shapes/dtypes (with the map state swapped for the grown
     capacity's) define the compile signature.  Thread-safety: the worker
     only reads immutable config/params and compiles (PJRT compilation is
-    thread-safe); the compiled jit is published into
-    ``pipeline._prebuilt_submap`` for ``_build_submap_step`` to pick up.
+    thread-safe); compiled jits are published into dicts
+    (``pipeline._prebuilt_submap``, ``submap._prebuilt_ie``,
+    ``submap._grow_cache``) that the growth paths consult.
     """
     submap = pipeline.submap
-    next_cap = submap.map_config.capacity * 2
     started = getattr(pipeline, "_prebuilt_started", set())
     pipeline._prebuilt_started = started
-    if next_cap in started:
+    arg_structs = _struct(call_args)
+    # remembered for precompile_growth_ladder (shapes are frame-invariant);
+    # recorded even when the background thread is disabled
+    pipeline._growth_precompile_ctx = (robust_scale, arg_structs)
+    if not enabled:
         return
-    started.add(next_cap)
-
-    import threading
-
-    struct = lambda tree: jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
-    )
-    arg_structs = struct(call_args)
+    cfg = submap.map_config
+    caps = [cfg.capacity * (2 ** (i + 1)) for i in range(steps_ahead)]
+    if all(c in started for c in caps):
+        return
+    started.update(caps)
 
     def work():
         try:
-            next_cfg = submap.peek_grown_config()
-            ie = submap.make_insert_extract(next_cfg)
-            fn = build_submap_step(
-                pipeline.params, submap, pipeline._use_pallas, robust_scale,
-                ie=ie, cfg=next_cfg,
-            )
-            if submap.is_occupancy:
-                from sycl_points_tpu.mapping import occupancy_grid as _m
-            else:
-                from sycl_points_tpu.mapping import voxel_hash_map as _m
-            state_structs = jax.eval_shape(lambda: _m.create(next_cfg))
-            fn.lower(state_structs, *arg_structs[1:]).compile()
-            prebuilt = getattr(pipeline, "_prebuilt_submap", {})
-            prebuilt[next_cap] = fn
-            pipeline._prebuilt_submap = prebuilt
+            c = cfg
+            for _ in range(steps_ahead):
+                c = _compile_growth_step(pipeline, robust_scale, arg_structs, c)
         except Exception:  # precompile is best-effort; growth falls back
             pass
 
-    threading.Thread(target=work, daemon=True, name="growth-precompile").start()
+    _spawn_precompile(work, "growth-precompile")
+
+
+def precompile_growth_ladder(pipeline, max_capacity: int, wait: bool = True) -> int:
+    """Deployment warm-start: compile EVERY growth step from the current map
+    capacity up to ``max_capacity`` (grow + insert_extract + fused submap
+    step per capacity).  Use when the stream's growth pace can outrun the
+    background precompile (early-stream growth at full frame rate).  Call
+    after at least one processed frame (the compile signature comes from the
+    last dispatched submap step).  Returns the number of ladder steps.
+    """
+    ctx = getattr(pipeline, "_growth_precompile_ctx", None)
+    if ctx is None:
+        raise RuntimeError(
+            "precompile_growth_ladder: process at least one frame first "
+            "(submap-step shapes are unknown before the first dispatch)"
+        )
+    robust_scale, arg_structs = ctx
+    started = getattr(pipeline, "_prebuilt_started", set())
+    pipeline._prebuilt_started = started
+
+    def work():
+        cfg = pipeline.submap.map_config
+        n = 0
+        while cfg.capacity < max_capacity:
+            started.add(cfg.capacity * 2)
+            cfg = _compile_growth_step(pipeline, robust_scale, arg_structs, cfg)
+            n += 1
+        return n
+
+    if wait:
+        return work()
+    _spawn_precompile(work, "growth-ladder")
+    return 0

@@ -46,6 +46,7 @@ from sycl_points_tpu.ops.knn import BruteForceKNN
 from sycl_points_tpu.ops.sampling import random_sampling
 from sycl_points_tpu.pipeline.fused_submap import (
     build_submap_step,
+    precompile_growth_ladder,
     start_growth_precompile,
 )
 from sycl_points_tpu.pipeline.params import LidarInertialOdometryParams
@@ -264,6 +265,13 @@ class LidarInertialOdometry:
             )
         self._fused_version = self.submap.version
 
+    def precompile_growth(self, max_capacity: int, wait: bool = True) -> int:
+        """Deployment warm-start: compile every map-growth step up to
+        ``max_capacity`` ahead of the stream (see
+        :func:`fused_submap.precompile_growth_ladder`).  Call after the
+        first processed frame."""
+        return precompile_growth_ladder(self, max_capacity, wait=wait)
+
     # ------------------------------------------------------------------
     def add_imu_measurement(self, meas: IMUMeasurement):
         self.imu_buffer.append(meas)
@@ -388,8 +396,8 @@ class LidarInertialOdometry:
             prev_map_state, self.submap.submap_cloud, reg_input, T_eff, is_kf, k2
         )
         new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
-        if self.growth_precompile:
-            start_growth_precompile(self, None, submap_args)
+        start_growth_precompile(self, None, submap_args,
+                                enabled=self.growth_precompile)
 
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
         t0 = time.perf_counter()

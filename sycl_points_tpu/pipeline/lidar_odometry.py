@@ -42,6 +42,7 @@ from sycl_points_tpu.imu.velocity_corrector import IMUVelocityCorrector
 from sycl_points_tpu.ops.knn import BruteForceKNN
 from sycl_points_tpu.pipeline.fused_submap import (
     build_submap_step,
+    precompile_growth_ladder,
     start_growth_precompile,
 )
 from sycl_points_tpu.pipeline.motion_predictor import MotionPredictor
@@ -241,6 +242,13 @@ class LidarOdometry:
             )
         self._fused_version = self.submap.version
 
+    def precompile_growth(self, max_capacity: int, wait: bool = True) -> int:
+        """Deployment warm-start: compile every map-growth step up to
+        ``max_capacity`` ahead of the stream (see
+        :func:`fused_submap.precompile_growth_ladder`).  Call after the
+        first processed frame."""
+        return precompile_growth_ladder(self, max_capacity, wait=wait)
+
     # -- IMU input (lidar_odometry.hpp:85-113) -------------------------------
     def add_imu_measurement(self, meas: IMUMeasurement):
         self.imu_buffer.append(meas)
@@ -438,8 +446,8 @@ class LidarOdometry:
             prev_map_state, self.submap.submap_cloud, deskewed, T_eff, is_kf, k1
         )
         new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
-        if self.growth_precompile:
-            start_growth_precompile(self, self._submap_robust_scale, submap_args)
+        start_growth_precompile(self, self._submap_robust_scale, submap_args,
+                                enabled=self.growth_precompile)
 
         # ---- THE one fused device->host readback ---------------------------
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0

@@ -54,6 +54,7 @@ from sycl_points_tpu.imu.factor import IDX_ROT, IDX_VEL, State
 from sycl_points_tpu.lio import lio_registration as lio
 from sycl_points_tpu.ops.knn import BruteForceKNN
 from sycl_points_tpu.ops.sampling import random_sampling
+from sycl_points_tpu.pipeline.fused_submap import start_growth_precompile
 from sycl_points_tpu.pipeline.lidar_inertial_odometry import (
     _S1,
     LidarInertialOdometry,
@@ -271,9 +272,12 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
         if self._fused_version != self.submap.version:
             self._build_submap_step()
         prev_map_state = self.submap.map_state
-        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(
+        submap_args = (
             prev_map_state, self.submap.submap_cloud, reg_input, T_eff, is_kf, k2
         )
+        new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
+        start_growth_precompile(self, None, submap_args,
+                                enabled=self.growth_precompile)
         self.submap.map_state = new_map_state
         self.submap.submap_cloud = new_submap
         self.submap.submap_knn = BruteForceKNN(

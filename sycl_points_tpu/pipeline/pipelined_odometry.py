@@ -321,8 +321,8 @@ class PipelinedLidarOdometry(LidarOdometry):
             prev_map_state, self.submap.submap_cloud, deskewed, T_eff, is_kf, k1
         )
         new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
-        if self.growth_precompile:
-            start_growth_precompile(self, self._submap_robust_scale, submap_args)
+        start_growth_precompile(self, self._submap_robust_scale, submap_args,
+                                enabled=self.growth_precompile)
         # commit device handles (no sync)
         self.submap.map_state = new_map_state
         self.submap.submap_cloud = new_submap

@@ -87,7 +87,13 @@ class Submap:
 
         # Cached jitted per-keyframe kernels (eager composites are slow on
         # some runtimes and would re-dispatch dozens of ops per keyframe).
+        # Growth programs are jit-cached per capacity (an eager grow() call
+        # recompiles its embedded loops EVERY call on this runtime) and both
+        # caches accept entries published by the background growth
+        # precompile (fused_submap.start_growth_precompile).
         sp_ = params.submap
+        self._grow_cache: dict = {}
+        self._prebuilt_ie: dict = {}
         self._rebuild_insert_extract()
         self._sample_uniform = jax.jit(
             lambda cl, key: random_sampling(cl, sp_.point_random_sampling_num, key)
@@ -163,16 +169,31 @@ class Submap:
         LidarOdometry); ``version`` lets dependents notice growth re-jits.
         """
         self.insert_extract_fn = self.make_insert_extract(self.map_config)
-        self._insert_extract = jax.jit(self.insert_extract_fn)
+        cached = self._prebuilt_ie.get(self.map_capacity)
+        self._insert_extract = (
+            cached if cached is not None else jax.jit(self.insert_extract_fn)
+        )
         self.version = getattr(self, "version", 0) + 1
+
+    def grow_fn_for(self, cfg):
+        """Jitted state-only grow program for ``cfg.capacity -> 2x``, cached
+        per capacity (also fed by the background growth precompile)."""
+        fn = self._grow_cache.get(cfg.capacity)
+        if fn is None:
+            mod = og if self.is_occupancy else vhm
+            fn = jax.jit(lambda st, _c=cfg: mod.grow(st, _c)[0])
+            self._grow_cache[cfg.capacity] = fn
+        return fn
 
     def _grow_map(self):
         """Double the map capacity in place (reference rehash policy,
         voxel_hash_map.hpp:847-934) and re-jit the per-keyframe kernels."""
+        cfg = self.map_config
+        self.map_state = self.grow_fn_for(cfg)(self.map_state)
         if self.is_occupancy:
-            self.map_state, self.og_config = og.grow(self.map_state, self.og_config)
+            self.og_config = self.peek_grown_config()
         else:
-            self.map_state, self.vhm_config = vhm.grow(self.map_state, self.vhm_config)
+            self.vhm_config = self.peek_grown_config()
         self._rebuild_insert_extract()
 
     @property

@@ -284,3 +284,53 @@ def test_submap_vhm_staleness_pruning_fires():
     near_a = used & np.all(np.abs(coords - (1 << 20) - 2) < 10, axis=1)
     assert near_a.sum() == 0, "stale voxels from the first frame not pruned"
     assert used.sum() > 0
+
+
+def test_growth_ladder_precompile_and_jit_cached_grow():
+    """precompile_growth ladder publishes grow / insert_extract / fused-step
+    programs for every capacity tier, and subsequent growth events consume
+    the published programs instead of recompiling (the eager grow() path
+    recompiled its embedded loops on EVERY call on the target runtime)."""
+    from tests.test_lidar_odometry import make_world, scan_at, small_params
+    from sycl_points_tpu.pipeline.pipelined_odometry import PipelinedLidarOdometry
+
+    import dataclasses
+
+    params = small_params()
+    params = dataclasses.replace(
+        params,
+        submap=dataclasses.replace(params.submap, map_capacity=256),
+    )
+    odo = PipelinedLidarOdometry(params)
+    odo.growth_precompile = False  # keep compiles deterministic in-test
+    world = make_world(n=1500)
+    T = np.eye(4, dtype=np.float32)
+    odo.process(PointCloud.from_numpy(scan_at(world, T)), timestamp=0.0)
+    T2 = T.copy()
+    T2[0, 3] = 0.3
+    odo.process(PointCloud.from_numpy(scan_at(world, T2)), timestamp=0.1)
+
+    cap0 = odo.submap.map_capacity
+    steps = odo.precompile_growth(max_capacity=cap0 * 8, wait=True)
+    assert steps == 3
+    sm = odo.submap
+    assert set(sm._grow_cache) >= {cap0, cap0 * 2, cap0 * 4}
+    assert set(sm._prebuilt_ie) >= {cap0 * 2, cap0 * 4, cap0 * 8}
+    assert set(odo._prebuilt_submap) >= {cap0 * 2, cap0 * 4, cap0 * 8}
+
+    # growth must consume the published programs (identity check), keep the
+    # state/config capacities in lockstep, and lose nothing
+    prebuilt_ie = sm._prebuilt_ie[cap0 * 2]
+    sm._grow_map()
+    assert sm.map_capacity == cap0 * 2
+    assert sm.map_state.used.shape[0] == cap0 * 2
+    assert sm._insert_extract is prebuilt_ie
+    odo._build_submap_step()
+    assert odo._submap_step_jit is odo._prebuilt_submap[cap0 * 2]
+
+    # the pipeline still runs end-to-end after the manual growth
+    T3 = T.copy()
+    T3[0, 3] = 0.6
+    r = odo.process(PointCloud.from_numpy(scan_at(world, T3)), timestamp=0.2)
+    odo.flush()
+    assert int(sm.map_state.dropped) == 0
