@@ -1,0 +1,163 @@
+"""Fleet odometry serving bench: B independent odometry streams per chip.
+
+Each fleet frame dispatches ONE vmapped preprocess+registration program and
+ONE vmapped submap-update program for all B streams, with a single async
+stats readback — so host orchestration, dispatch overhead and the link
+round trip amortize B ways.  Throughput is the serving metric:
+stream-frames per second per chip vs the single-stream pipelined replay
+(REPLAY_PL_r*.json).
+
+Each stream follows its own trajectory (rotated/offset figure-8 starts) in
+the shared synthetic Velodyne world, so per-stream state independence is
+exercised, not just batching.
+
+Usage: python benchmarks/bench_fleet.py [--streams 8] [--frames 40] [--json out]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from synthetic_velodyne import World, figure8_trajectory, scan_at
+
+from sycl_points_tpu.parallel.fleet import FleetOdometry
+from sycl_points_tpu.pipeline.lidar_odometry import ResultType
+from sycl_points_tpu.pipeline.params import (
+    DownsamplingParams,
+    LidarOdometryParams,
+    PolarDownsamplingParams,
+    RandomDownsamplingParams,
+    ScanParams,
+    SubmapParams,
+    VoxelDownsamplingParams,
+)
+from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=6)
+    ap.add_argument("--rings", type=int, default=32)
+    ap.add_argument("--az", type=int, default=1024)
+    ap.add_argument("--map-capacity", type=int, default=1 << 16)
+    ap.add_argument("--map-voxel", type=float, default=1.0)
+    ap.add_argument("--speed", type=float, default=0.35)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    B = args.streams
+    print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+
+    world = World()
+    base = figure8_trajectory(args.frames, speed=args.speed)
+    # per-stream starts: rotate/offset the shared figure-8
+    trajs = []
+    for s in range(B):
+        yaw = 2.0 * np.pi * s / B
+        c, si = np.cos(yaw), np.sin(yaw)
+        R = np.eye(4, dtype=np.float32)
+        R[:3, :3] = np.array([[c, -si, 0], [si, c, 0], [0, 0, 1]], np.float32)
+        R[0, 3] = 3.0 * (s % 4)
+        trajs.append([(R @ T).astype(np.float32) for T in base])
+
+    raw_cap = pad_capacity_for(args.az * args.rings)
+    scans = []  # [frame][stream] -> np pts
+    for i in range(args.frames):
+        per_stream = []
+        for s in range(B):
+            pts = scan_at(world, trajs[s][i], n_az=args.az, n_rings=args.rings,
+                          seed=1000 * s + i,
+                          cache_tag=f"fleet_{args.az}x{args.rings}_s{s}_{i}")
+            per_stream.append(pts)
+        scans.append(per_stream)
+    print(f"{args.frames}x{B} scans generated", file=sys.stderr, flush=True)
+
+    params = LidarOdometryParams(
+        scan=ScanParams(
+            downsampling=DownsamplingParams(
+                voxel=VoxelDownsamplingParams(enable=True, size=1.0),
+                polar=PolarDownsamplingParams(enable=False),
+                random=RandomDownsamplingParams(enable=True, num=5000),
+            ),
+        ),
+        submap=SubmapParams(map_type="VOXEL_HASH_MAP", voxel_size=args.map_voxel,
+                            map_capacity=args.map_capacity,
+                            point_random_sampling_num=512),
+    )
+    fleet = FleetOdometry(
+        params, n_streams=B,
+        initial_poses=np.stack([t[0] for t in trajs]),
+    )
+
+    def stack_frame(i):
+        clouds = [PointCloud.from_numpy(p, capacity=raw_cap) for p in scans[i]]
+        return PointCloud(
+            points=jnp.stack([c.points for c in clouds]),
+            mask=jnp.stack([c.mask for c in clouds]),
+        )
+
+    frame_times = []
+    for i in range(args.frames):
+        stacked = stack_frame(i)  # untimed h2d
+        t0 = time.perf_counter()
+        fleet.process_batch(stacked, timestamps=0.1 * i)
+        dt = time.perf_counter() - t0
+        if i >= args.warmup:
+            frame_times.append(dt)
+        if i in (0, 1, args.warmup):
+            print(f"frame {i}: {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
+    fleet.flush()
+
+    # per-stream ATE
+    ates = []
+    ok = 0
+    for s in range(B):
+        est = np.stack(
+            [trajs[s][0][:3, 3]]
+            + [T[:3, 3] for _, _, T, _ in fleet.pose_log[s]]
+        )
+        gt = np.stack([T[:3, 3] for T in trajs[s]])[: len(est)]
+        err = np.sqrt(np.sum((est - gt) ** 2, axis=1))
+        ates.append(float(np.sqrt(np.mean(err ** 2))))
+        ok += sum(
+            1 for _, rt in fleet.deferred_results[s] if rt is ResultType.success
+        )
+
+    ms_frame = float(np.mean(frame_times)) * 1e3
+    out = {
+        "config": "fleet-odometry",
+        "streams": B,
+        "frames": args.frames,
+        "raw_points_per_scan": int(raw_cap),
+        "ms_per_fleet_frame": round(ms_frame, 2),
+        "ms_per_stream_frame": round(ms_frame / B, 3),
+        "stream_frames_per_sec": round(1e3 / ms_frame * B, 1),
+        "frames_ok": ok,
+        "frames_expected": B * (args.frames - 1),
+        "ate_translation_m_mean": round(float(np.mean(ates)), 3),
+        "ate_translation_m_max": round(float(np.max(ates)), 3),
+        "map_capacity_final": fleet.map_capacity,
+        "map_dropped": int(np.asarray(fleet.map_state.dropped).sum()),
+        "budget_lost": int(fleet.budget_lost.sum()),
+        "growth_events": fleet.growth_events,
+    }
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

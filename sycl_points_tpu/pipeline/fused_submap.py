@@ -21,10 +21,11 @@ from sycl_points_tpu.points.point_cloud import PointCloud
 from sycl_points_tpu.registration.registration import compute_icp_robust_weights
 
 
-def build_submap_step(params, submap, use_pallas: bool,
-                      robust_scale: Optional[float] = None,
-                      *, ie=None, cfg=None):
-    """Build the jitted submap-update program for the CURRENT map config.
+def make_submap_step(params, submap, use_pallas: bool,
+                     robust_scale: Optional[float] = None,
+                     *, ie=None, cfg=None):
+    """Build the RAW (unjitted) submap-update traceable for the CURRENT map
+    config — vmappable by the fleet serving layer (``parallel/fleet.py``).
 
     Returns a jit of ``(map_state, submap_prev, deskewed, T_eff, is_kf, key)
     -> (new_map_state, target, sampled, stats2)`` where ``stats2`` is
@@ -115,7 +116,16 @@ def build_submap_step(params, submap, use_pallas: bool,
 
         return jax.lax.cond(is_kf, do_update, no_update, None)
 
-    return jax.jit(_submap_step)
+    return _submap_step
+
+
+def build_submap_step(params, submap, use_pallas: bool,
+                      robust_scale: Optional[float] = None,
+                      *, ie=None, cfg=None):
+    """Jitted :func:`make_submap_step` (the per-frame program the odometry
+    pipelines dispatch)."""
+    return jax.jit(make_submap_step(params, submap, use_pallas, robust_scale,
+                                    ie=ie, cfg=cfg))
 
 
 def _struct(tree):

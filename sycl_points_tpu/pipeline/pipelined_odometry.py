@@ -275,6 +275,7 @@ class PipelinedLidarOdometry(LidarOdometry):
             ])
             return result, out.deskewed, T_eff, is_kf, new_carry, stats1
 
+        self._reg_step_fn = _reg_step  # raw traceable (fleet vmaps this)
         self._reg_step_jit = jax.jit(_reg_step)
 
     def _init_carry(self) -> OdomCarry:
