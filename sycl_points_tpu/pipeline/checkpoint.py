@@ -29,7 +29,12 @@ def _flatten_state(prefix: str, state) -> dict:
 
 
 def save_checkpoint(path: str, odometry) -> None:
-    """Serialize a LidarOdometry / LidarInertialOdometry instance."""
+    """Serialize a LidarOdometry / LidarInertialOdometry instance (or a
+    pipelined subclass: the in-flight window is drained first so the host
+    mirrors — which the device carry is rebuilt from on resume — are
+    current)."""
+    if hasattr(odometry, "flush"):
+        odometry.flush()
     data = {
         "odom": np.asarray(odometry.odom),
         "prev_odom": np.asarray(odometry.prev_odom),
@@ -60,10 +65,20 @@ def load_checkpoint(path: str, odometry) -> None:
     (must be built with the same parameters/capacities)."""
     z = np.load(path, allow_pickle=False)
     meta = json.loads(bytes(z["__meta__"]).decode())
-    if meta["kind"] != type(odometry).__name__:
+    compatible = {
+        frozenset({"LidarOdometry", "PipelinedLidarOdometry"}),
+        frozenset({"LidarInertialOdometry", "PipelinedLidarInertialOdometry"}),
+    }
+    kinds = {meta["kind"], type(odometry).__name__}
+    if len(kinds) > 1 and frozenset(kinds) not in compatible:
         raise ValueError(
             f"checkpoint is for {meta['kind']}, not {type(odometry).__name__}"
         )
+    # pipelined subclasses rebuild the device carry from the restored host
+    # mirrors on the next frame
+    if hasattr(odometry, "_carry"):
+        odometry._carry = None
+        odometry._pending.clear()
 
     odometry.odom = z["odom"]
     odometry.prev_odom = z["prev_odom"]

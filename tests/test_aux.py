@@ -78,3 +78,44 @@ def test_checkpoint_resume(tmp_path):
     r2 = lo2.process(scan, 0.3)
     assert r1 is ResultType.success and r2 is ResultType.success
     np.testing.assert_allclose(lo2.get_odometry(), lo.get_odometry(), atol=0.02)
+
+
+@pytest.mark.slow
+def test_checkpoint_resume_pipelined(tmp_path):
+    """Pipelined pipelines checkpoint via their host mirrors: save drains
+    the in-flight window, resume into EITHER the sync or the pipelined
+    class rebuilds the device carry on the next frame."""
+    from sycl_points_tpu.pipeline.checkpoint import load_checkpoint, save_checkpoint
+    from sycl_points_tpu.pipeline.lidar_odometry import LidarOdometry, ResultType
+    from sycl_points_tpu.pipeline.pipelined_odometry import PipelinedLidarOdometry
+    from tests.test_lidar_odometry import make_world, scan_at, small_params
+
+    world = make_world(2000)
+    params = small_params()
+    pl = PipelinedLidarOdometry(params)
+    for i in range(3):
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.2 * i
+        pl.process(PointCloud.from_numpy(scan_at(world, T)), 0.1 * i)
+    ckpt = str(tmp_path / "state_pl.npz")
+    save_checkpoint(ckpt, pl)  # flushes the in-flight window itself
+    assert not pl._pending
+
+    # resume into a fresh pipelined instance AND into the sync class
+    pl2 = PipelinedLidarOdometry(params)
+    load_checkpoint(ckpt, pl2)
+    lo2 = LidarOdometry(params)
+    load_checkpoint(ckpt, lo2)
+    np.testing.assert_allclose(pl2.odom, pl.odom)
+    np.testing.assert_allclose(lo2.odom, pl.odom)
+
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = 0.6
+    scan = PointCloud.from_numpy(scan_at(world, T))
+    r_sync = lo2.process(scan, 0.3)
+    pl2.process(scan, 0.3)
+    pl2.flush()
+    assert r_sync is ResultType.success
+    assert pl2.deferred_results[-1][1] is ResultType.success
+    # both resumed pipelines agree on the continued pose
+    np.testing.assert_allclose(pl2.odom, lo2.odom, atol=0.02)
