@@ -216,12 +216,17 @@ class FleetOdometry:
             tree,
         )
 
+    def _cfg_at(self, capacity: int):
+        """Map config at an arbitrary capacity tier (capacity is the only
+        config field growth changes)."""
+        import dataclasses as _dc
+
+        return _dc.replace(self._t.submap.map_config, capacity=capacity)
+
     def _bootstrap_jit_for(self, capacity: int):
         fn = self._bootstrap_jits.get(capacity)
         if fn is None:
-            cfg = self._t.submap.map_config
-            assert cfg.capacity == capacity
-            fn = jax.jit(jax.vmap(self._make_bootstrap(cfg)))
+            fn = jax.jit(jax.vmap(self._make_bootstrap(self._cfg_at(capacity))))
             self._bootstrap_jits[capacity] = fn
         return fn
 
@@ -229,8 +234,7 @@ class FleetOdometry:
         fn = self._submap_jits.get(capacity)
         if fn is None:
             sm = self._t.submap
-            cfg = sm.map_config
-            assert cfg.capacity == capacity
+            cfg = self._cfg_at(capacity)
             raw = make_submap_step(
                 self.params, sm, use_pallas=False,
                 robust_scale=self._robust_scale,
@@ -243,8 +247,7 @@ class FleetOdometry:
     def _grow_jit_for(self, capacity: int):
         fn = self._grow_jits.get(capacity)
         if fn is None:
-            cfg = self._t.submap.map_config
-            assert cfg.capacity == capacity
+            cfg = self._cfg_at(capacity)
             mod = self._mapmod
             fn = jax.jit(jax.vmap(lambda st, _c=cfg: mod.grow(st, _c)[0]))
             self._grow_jits[capacity] = fn
@@ -253,11 +256,49 @@ class FleetOdometry:
     def _ie_jit_for(self, capacity: int):
         fn = self._ie_jits.get(capacity)
         if fn is None:
-            cfg = self._t.submap.map_config
-            assert cfg.capacity == capacity
-            fn = jax.jit(jax.vmap(self._t.submap.make_insert_extract(cfg)))
+            fn = jax.jit(jax.vmap(
+                self._t.submap.make_insert_extract(self._cfg_at(capacity))
+            ))
             self._ie_jits[capacity] = fn
         return fn
+
+    def precompile_growth(self, max_capacity: int) -> int:
+        """Fleet analog of the pipelines' growth-ladder warm start: compile
+        the vmapped grow / insert-retry / submap-step programs for every
+        capacity tier up to ``max_capacity`` (growth events then swap
+        programs instead of paying vmapped recompiles).  Call after at
+        least one processed frame (the submap-step signature comes from the
+        last dispatched frame).  Returns the number of ladder steps."""
+        arg_structs = getattr(self, "_growth_ctx", None)
+        if arg_structs is None:
+            raise RuntimeError(
+                "precompile_growth: process at least one fleet frame first"
+            )
+        n = 0
+        cap = self.map_capacity
+        while cap < max_capacity:
+            state_s = jax.eval_shape(
+                lambda c=self._cfg_at(cap): _stack_tree(
+                    self._mapmod.create(c), self.B
+                )
+            )
+            next_cap = cap * 2
+            next_state_s = jax.eval_shape(
+                lambda c=self._cfg_at(next_cap): _stack_tree(
+                    self._mapmod.create(c), self.B
+                )
+            )
+            self._grow_jit_for(cap).lower(state_s).compile()
+            sampled_s, pose_s = arg_structs[0], arg_structs[3]
+            self._ie_jit_for(next_cap).lower(
+                next_state_s, sampled_s, pose_s
+            ).compile()
+            self._submap_jit_for(next_cap).lower(
+                next_state_s, *arg_structs[1:]
+            ).compile()
+            cap = next_cap
+            n += 1
+        return n
 
     def _split_keys(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -361,9 +402,15 @@ class FleetOdometry:
         t0 = time.perf_counter()
         prev_map_state = self.map_state
         submap_fn = self._submap_jit_for(self.map_capacity)
+        keys_b = self._split_keys()
         new_map_state, new_submap, sampled, s2 = submap_fn(
-            prev_map_state, self.submap_cloud, deskewed, T_eff, is_kf,
-            self._split_keys(),
+            prev_map_state, self.submap_cloud, deskewed, T_eff, is_kf, keys_b
+        )
+        # growth-ladder compile signature: (sampled | submap-step args
+        # after the state) — see precompile_growth
+        self._growth_ctx = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (sampled, self.submap_cloud, deskewed, T_eff, is_kf, keys_b),
         )
         self.map_state = new_map_state
         self.submap_cloud = new_submap
@@ -468,10 +515,23 @@ class FleetOdometry:
         self._rebuild_target(extracted)
 
         for later in self._pending:
-            ie = self._ie_jit_for(self.map_capacity)
-            new_state, _extracted, _load, overflow = ie(
-                self.map_state, later.sampled, later.T_eff
-            )
+            # re-apply with the same grow-on-new-drop retry (the stashed
+            # insert usually fits after the first growth, but must never be
+            # committed while dropping — Submap.retry_insert_after_drop's
+            # grow_first=False semantics)
+            base2 = self.map_state
+            for attempt in range(max_grow):
+                ie = self._ie_jit_for(self.map_capacity)
+                new_state, _extracted, _load, overflow = ie(
+                    base2, later.sampled, later.T_eff
+                )
+                no_new = (
+                    np.asarray(new_state.dropped, np.int64)
+                    == np.asarray(base2.dropped, np.int64)
+                ).all()
+                if no_new or attempt == max_grow - 1:
+                    break
+                base2 = self._grow_state(base2)
             self.map_state = new_state
             self._reconciled_until = later.frame_index
         self._reconciled_until = max(self._reconciled_until, pend.frame_index)

@@ -143,3 +143,41 @@ def test_fleet_sharded_matches_unsharded():
             assert i1 == i2 and r1 is r2
             np.testing.assert_allclose(T1[:3, 3], T2[:3, 3], atol=5e-3)
             np.testing.assert_allclose(T1[:3, :3], T2[:3, :3], atol=2e-3)
+
+
+@pytest.mark.slow
+def test_fleet_precompile_growth_ladder():
+    """Fleet growth-ladder warm start publishes the vmapped grow /
+    insert-retry / submap-step programs per capacity; growth then consumes
+    the published jits (identity check) with state/config in lockstep."""
+    B, N = 2, 3
+    world = make_world(n=1500)
+    trajs = _stream_trajectories(B, N)
+    params = small_params()
+    params = dataclasses.replace(
+        params, submap=dataclasses.replace(params.submap, map_capacity=1024)
+    )
+    fleet = FleetOdometry(
+        params, n_streams=B, initial_poses=np.stack([t[0] for t in trajs])
+    )
+    for i in range(2):
+        clouds = _stack_scans(world, [trajs[s][i] for s in range(B)])
+        fleet.process_batch(clouds, timestamps=0.1 * i)
+
+    cap0 = fleet.map_capacity
+    steps = fleet.precompile_growth(max_capacity=cap0 * 4)
+    assert steps == 2
+    assert set(fleet._grow_jits) >= {cap0, cap0 * 2}
+    assert set(fleet._ie_jits) >= {cap0 * 2, cap0 * 4}
+    assert set(fleet._submap_jits) >= {cap0 * 2, cap0 * 4}
+
+    grow_fn = fleet._grow_jits[cap0]
+    fleet._grow_fleet()
+    assert fleet.map_capacity == cap0 * 2
+    assert fleet.map_state.used.shape == (B, cap0 * 2)
+    assert fleet._grow_jits[cap0] is grow_fn
+
+    clouds = _stack_scans(world, [trajs[s][2] for s in range(B)])
+    fleet.process_batch(clouds, timestamps=0.2)
+    fleet.flush()
+    assert (np.asarray(fleet.map_state.dropped) == 0).all()
