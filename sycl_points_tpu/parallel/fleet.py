@@ -22,12 +22,16 @@ Semantics and scope (v1, documented deltas vs the single-stream pipelines):
   growth slow path rolls back and regrows the WHOLE fleet when any stream
   drops a contribution, preserving each stream's zero-loss retry semantics
   (``pipeline/submap.py`` docstrings; voxel_hash_map.hpp:121-124).
-- IMU and per-point-timestamp deskew publishing are not supported (same
-  constraint as PipelinedLidarOdometry, which this layer vmaps).
+- Per-point-timestamp deskew publishing is not supported (same constraint
+  as the pipelined single-stream classes, which this layer vmaps).
+  :class:`FleetLIO` batches the full 15-DOF inertial pipeline — per-stream
+  IMU windows, preintegration, bias states — with the same program-pair
+  structure.
 - The Pallas nn1 kernel is not used under vmap; the XLA correspondence path
   batches across streams instead (bigger matmuls, same result).
 
-Reference frame loop being batched: pipeline/lidar_odometry.hpp:115-298.
+Reference frame loops being batched: pipeline/lidar_odometry.hpp:115-298,
+pipeline/lidar_inertial_odometry.hpp:131-472.
 """
 
 from __future__ import annotations
@@ -95,7 +99,7 @@ class FleetOdometry:
     ):
         # the template builds (and owns) the raw single-stream traceables;
         # its own jits/threads stay unused
-        t = PipelinedLidarOdometry(params, map_prior_params)
+        t = self._make_template(params, map_prior_params)
         t.growth_precompile = False
         self._t = t
         self.params = params
@@ -103,6 +107,7 @@ class FleetOdometry:
         self._max_in_flight = max(1, max_in_flight)
         self._key = jax.random.key(seed)
         self._mapmod = og if t.submap.is_occupancy else vhm
+        self._s1 = self._stats1_len()
 
         self._shard = None
         if mesh is not None:
@@ -112,7 +117,7 @@ class FleetOdometry:
 
         # ---- vmapped programs (jitted once; capacity-keyed for program B)
         pc = t.pc_processor
-        need_cov = t._needs_covariances()
+        need_cov = getattr(t, "_needs_covariances", lambda: True)()
         k_cov = params.covariance_estimation.neighbor_num
 
         def _pre_fn(cloud, key):
@@ -124,14 +129,8 @@ class FleetOdometry:
             return c
 
         self._pre_jit = jax.jit(jax.vmap(_pre_fn))
-        self._reg_jit = jax.jit(jax.vmap(t._reg_step_fn))
-        # sampling-weight scale for program B (same formula as
-        # LidarOdometry._build_submap_step)
-        self._robust_scale = (
-            t.pipeline_params.robust.min_scale
-            if t.pipeline_params.robust.auto_scale
-            else params.registration.factor.robust.default_scale
-        )
+        self._build_reg_program(t)
+        self._robust_scale = self._compute_robust_scale(t, params)
         self._submap_jits: dict = {}
         self._grow_jits: dict = {}
         self._ie_jits: dict = {}
@@ -202,6 +201,25 @@ class FleetOdometry:
         self.growth_events: List[dict] = []
         self.processing_times = {}
         self._last_ts = None
+
+    # ---- pipeline-specific hooks (overridden by FleetLIO) ------------------
+    def _make_template(self, params, map_prior_params):
+        return PipelinedLidarOdometry(params, map_prior_params)
+
+    def _stats1_len(self) -> int:
+        return _S1
+
+    def _build_reg_program(self, t) -> None:
+        self._reg_jit = jax.jit(jax.vmap(t._reg_step_fn))
+
+    def _compute_robust_scale(self, t, params):
+        # sampling-weight scale for program B (same formula as
+        # LidarOdometry._build_submap_step)
+        return (
+            t.pipeline_params.robust.min_scale
+            if t.pipeline_params.robust.auto_scale
+            else params.registration.factor.robust.default_scale
+        )
 
     # ------------------------------------------------------------------
     @property
@@ -340,44 +358,7 @@ class FleetOdometry:
         self.processing_times["1. preprocessing"] = time.perf_counter() - t0
 
         if self._carry is None:
-            # ---- fleet bootstrap: all streams' first frame together, with
-            # the same grow-and-retry-the-SAME-insert semantics as
-            # add_first_frame (the pre-insert state is empty, so a retry on
-            # a recreated larger empty table loses nothing) ----
-            t0 = time.perf_counter()
-            poses = jnp.asarray(self._initial_poses)
-            keys = self._split_keys()  # fixed across retries: same samples
-            for attempt in range(9):
-                boot = self._bootstrap_jit_for(self.map_capacity)
-                new_state, target, stats0 = boot(
-                    pre, poses, keys, self.map_state
-                )
-                s0 = np.asarray(stats0)
-                if (s0[:, 2] == 0).all() or attempt == 8:
-                    break
-                sm = self._t.submap
-                if sm.is_occupancy:
-                    sm.og_config = sm.peek_grown_config()
-                else:
-                    sm.vhm_config = sm.peek_grown_config()
-                sm.version += 1
-                self.growth_events.append(
-                    {"frame": 0, "capacity": sm.map_capacity}
-                )
-                self.map_state = self._put(_stack_tree(
-                    self._mapmod.create(sm.map_config), self.B
-                ))
-            self.map_state = new_state
-            self.submap_cloud = target
-            self._carry = self._init_carry()
-            self._dropped_seen = s0[:, 2].astype(np.int64)
-            self.extract_overflow = s0[:, 1].astype(np.int64)
-            self.budget_lost = s0[:, 3].astype(np.int64)
-            if float(s0[:, 0].max()) > 0.7:
-                self._grow_fleet()
-            self._last_ts = ts
-            self.frame_count += 1
-            self.processing_times["4a. submap dispatch"] = time.perf_counter() - t0
+            self._bootstrap_streams(pre, ts)
             return
 
         dts = np.where(
@@ -387,6 +368,54 @@ class FleetOdometry:
 
         # ---- program A (stacked): predict + align + keyframe ----
         t0 = time.perf_counter()
+        cloud_for_submap, T_eff, is_kf, s1 = self._run_reg(pre, ts, dts)
+        self.processing_times["3. registration"] = time.perf_counter() - t0
+        self._dispatch_submap(cloud_for_submap, T_eff, is_kf, s1, ts, dts)
+
+    def _bootstrap_streams(self, pre: PointCloud, ts: np.ndarray) -> None:
+        """Fleet bootstrap: all streams' first frame together, with the
+        same grow-and-retry-the-SAME-insert semantics as add_first_frame
+        (the pre-insert state is empty, so a retry on a recreated larger
+        empty table loses nothing)."""
+        t0 = time.perf_counter()
+        poses = jnp.asarray(self._initial_poses)
+        keys = self._split_keys()  # fixed across retries: same samples
+        for attempt in range(9):
+            boot = self._bootstrap_jit_for(self.map_capacity)
+            new_state, target, stats0 = boot(pre, poses, keys, self.map_state)
+            s0 = np.asarray(stats0)
+            if (s0[:, 2] == 0).all() or attempt == 8:
+                break
+            sm = self._t.submap
+            if sm.is_occupancy:
+                sm.og_config = sm.peek_grown_config()
+            else:
+                sm.vhm_config = sm.peek_grown_config()
+            sm.version += 1
+            self.growth_events.append(
+                {"frame": 0, "capacity": sm.map_capacity}
+            )
+            self.map_state = self._put(_stack_tree(
+                self._mapmod.create(sm.map_config), self.B
+            ))
+        self.map_state = new_state
+        self.submap_cloud = target
+        self._carry = self._init_carry()
+        self._post_bootstrap(ts)
+        self._dropped_seen = s0[:, 2].astype(np.int64)
+        self.extract_overflow = s0[:, 1].astype(np.int64)
+        self.budget_lost = s0[:, 3].astype(np.int64)
+        if float(s0[:, 0].max()) > 0.7:
+            self._grow_fleet()
+        self._last_ts = ts
+        self.frame_count += 1
+        self.processing_times["4a. submap dispatch"] = time.perf_counter() - t0
+
+    def _post_bootstrap(self, ts: np.ndarray) -> None:
+        """Extra per-pipeline state init after the fleet bootstrap."""
+
+    def _run_reg(self, pre: PointCloud, ts: np.ndarray, dts: np.ndarray):
+        """Dispatch program A; returns (cloud_for_submap, T_eff, is_kf, s1)."""
         host_vec = jnp.asarray(np.stack([dts, ts], axis=1))  # [B, 2]
         knn = BruteForceKNN(
             points=self.submap_cloud.points, mask=self.submap_cloud.mask,
@@ -396,21 +425,25 @@ class FleetOdometry:
             pre, self.submap_cloud, knn, self._carry, host_vec
         )
         self._carry = new_carry
-        self.processing_times["3. registration"] = time.perf_counter() - t0
+        return deskewed, T_eff, is_kf, s1
 
-        # ---- program B (stacked): keyframe submap update ----
+    def _dispatch_submap(self, cloud_for_submap, T_eff, is_kf, s1,
+                         ts: np.ndarray, dts: np.ndarray) -> None:
+        """Program B (stacked keyframe submap update) + async stats fetch +
+        adaptive drain — shared by both fleet pipelines."""
         t0 = time.perf_counter()
         prev_map_state = self.map_state
         submap_fn = self._submap_jit_for(self.map_capacity)
         keys_b = self._split_keys()
         new_map_state, new_submap, sampled, s2 = submap_fn(
-            prev_map_state, self.submap_cloud, deskewed, T_eff, is_kf, keys_b
+            prev_map_state, self.submap_cloud, cloud_for_submap, T_eff,
+            is_kf, keys_b
         )
         # growth-ladder compile signature: (sampled | submap-step args
         # after the state) — see precompile_growth
         self._growth_ctx = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            (sampled, self.submap_cloud, deskewed, T_eff, is_kf, keys_b),
+            (sampled, self.submap_cloud, cloud_for_submap, T_eff, is_kf, keys_b),
         )
         self.map_state = new_map_state
         self.submap_cloud = new_submap
@@ -433,24 +466,30 @@ class FleetOdometry:
         self.frame_count += 1
 
     # ------------------------------------------------------------------
+    def _stream_result_types(self, stats: np.ndarray) -> list:
+        """Per-stream ResultType from the stats1 block (LO layout)."""
+        small = stats[:, 21] > 0.5
+        return [
+            ResultType.small_number_of_points if small[b]
+            else ResultType.success
+            for b in range(self.B)
+        ]
+
     def _resolve_one(self, pend: _Pending) -> None:
         stats = np.asarray(pend.stats)  # [B, S]
         B = self.B
+        s1 = self._s1
         T_np = stats[:, :16].reshape(B, 4, 4).astype(np.float32)
-        small = stats[:, 21] > 0.5
-        load = stats[:, _S1 + 0]
-        overflow = stats[:, _S1 + 1]
-        dropped = stats[:, _S1 + 3].astype(np.int64)
-        budget_lost = stats[:, _S1 + 4].astype(np.int64)
+        load = stats[:, s1 + 0]
+        overflow = stats[:, s1 + 1]
+        dropped = stats[:, s1 + 3].astype(np.int64)
+        budget_lost = stats[:, s1 + 4].astype(np.int64)
 
+        rtypes = self._stream_result_types(stats)
         for b in range(B):
-            rtype = (
-                ResultType.small_number_of_points if small[b]
-                else ResultType.success
-            )
-            self.deferred_results[b].append((pend.frame_index, rtype))
+            self.deferred_results[b].append((pend.frame_index, rtypes[b]))
             self.pose_log[b].append(
-                (pend.frame_index, float(pend.timestamps[b]), T_np[b], rtype)
+                (pend.frame_index, float(pend.timestamps[b]), T_np[b], rtypes[b])
             )
         self.extract_overflow = overflow.astype(np.int64)
         self.budget_lost = budget_lost
@@ -567,3 +606,147 @@ class FleetOdometry:
         """Latest RESOLVED pose of one stream."""
         log = self.pose_log[stream]
         return log[-1][2].copy() if log else self._initial_poses[stream].copy()
+
+
+class FleetLIO(FleetOdometry):
+    """B tightly-coupled 15-DOF LIO streams, one program pair per frame.
+
+    The vmapped analog of :class:`PipelinedLidarInertialOdometry`: per
+    stream the full inertial chain — parallel-prefix preintegration of its
+    own IMU window, prediction with reset sigma floors, the 15-DOF LIO
+    align, bias clamps, the IMU-only fallback on small frames and the
+    non-finite guard — runs inside program A; program B is the shared fleet
+    submap update.  Per-stream IMU windows are padded to a common
+    power-of-two step bucket and stacked into one ``[B, S, 14]`` payload
+    (one h2d transfer for the whole fleet's inertial data).
+
+    Constraints (same as the pipelined single-stream class): IMU deskew and
+    initial alignment must be disabled; streams share one parameter set and
+    bootstrap together.  Reference flagship being batched:
+    pipeline/lidar_inertial_odometry.hpp:131-472.
+    """
+
+    def __init__(self, params=None, n_streams: int = 4, **kwargs):
+        from sycl_points_tpu.pipeline.params import LidarInertialOdometryParams
+
+        params = params if params is not None else LidarInertialOdometryParams()
+        if params.imu.initial_alignment.enable:
+            raise ValueError(
+                "FleetLIO requires imu.initial_alignment.enable=False "
+                "(the alignment handshake is host-per-stream; use the "
+                "single-stream pipelines)"
+            )
+        super().__init__(params, n_streams, **kwargs)
+        B = self.B
+        self._imu_buffers = [deque() for _ in range(B)]
+        self._last_reset = np.full(B, -1.0, np.float64)
+        self.x = None  # stacked 15-DOF State, set at bootstrap
+        self.P = None  # [B, 15, 15]
+        self.gyro_bias_np = np.zeros((B, 3), np.float32)
+        self.accel_bias_np = np.zeros((B, 3), np.float32)
+        self.velocity_np = np.zeros((B, 3), np.float32)
+
+    # ---- hooks -------------------------------------------------------------
+    def _make_template(self, params, map_prior_params):
+        from sycl_points_tpu.pipeline.pipelined_lio import (
+            PipelinedLidarInertialOdometry,
+        )
+
+        return PipelinedLidarInertialOdometry(params)
+
+    def _stats1_len(self) -> int:
+        from sycl_points_tpu.pipeline.lidar_inertial_odometry import _S1 as S1_LIO
+
+        return S1_LIO
+
+    def _build_reg_program(self, t) -> None:
+        self._lio_jit = jax.jit(jax.vmap(t._lio_step_fn))
+
+    def _compute_robust_scale(self, t, params):
+        return None  # LIO convention (fused_submap robust_scale=None)
+
+    def _init_carry(self):
+        from sycl_points_tpu.pipeline.pipelined_lio import LIOCarry
+
+        poses = jnp.asarray(self._initial_poses)
+        return LIOCarry(
+            last_kf_pose=poses,
+            last_kf_time=jnp.full(self.B, -1.0, jnp.float32),
+        )
+
+    def _post_bootstrap(self, ts: np.ndarray) -> None:
+        t, B = self._t, self.B
+        poses = jnp.asarray(self._initial_poses)
+        x0 = _stack_tree(t.x, B)
+        self.x = x0._replace(
+            position=poses[:, :3, 3],
+            rotation=poses[:, :3, :3],
+            velocity=jnp.zeros((B, 3), jnp.float32),
+        )
+        self.P = _stack_tree(t.P_post, B)
+        self._last_reset = ts.astype(np.float64).copy()
+
+    # ---- IMU input (per stream) ---------------------------------------------
+    def add_imu_measurement(self, stream: int, meas) -> None:
+        buf = self._imu_buffers[stream]
+        buf.append(meas)
+        horizon = meas.timestamp - self.params.imu.buffer_duration_sec
+        while buf and buf[0].timestamp < horizon:
+            buf.popleft()
+
+    # ---- program A ----------------------------------------------------------
+    def _run_reg(self, pre: PointCloud, ts: np.ndarray, dts: np.ndarray):
+        from sycl_points_tpu.imu.preintegration import (
+            build_measurement_window,
+            pack_steps,
+            padded_steps_from_window,
+        )
+
+        packs = []
+        for b in range(self.B):
+            w = build_measurement_window(
+                list(self._imu_buffers[b]),
+                float(self._last_reset[b]), float(ts[b]),
+            )
+            packs.append(pack_steps(*padded_steps_from_window(w)))
+        S = max(p.shape[0] for p in packs)
+        packs = [np.pad(p, ((0, S - p.shape[0]), (0, 0))) for p in packs]
+        imu_pack = jnp.asarray(np.stack(packs))  # [B, S, 14]
+        # [timestamp, update_bias] per stream (bias always observable here,
+        # lidar_inertial_odometry.hpp:371-393 reference default)
+        host_vec = jnp.asarray(
+            np.stack([ts, np.ones(self.B, np.float32)], axis=1)
+        )
+        knn = BruteForceKNN(
+            points=self.submap_cloud.points, mask=self.submap_cloud.mask,
+            use_pallas=False,
+        )
+        x_new, P_new, reg_input, T_eff, is_kf, new_carry, s1 = self._lio_jit(
+            pre, self.submap_cloud, knn, self.x, self.P, imu_pack,
+            self._carry, host_vec, self._split_keys(),
+        )
+        self.x, self.P, self._carry = x_new, P_new, new_carry
+        self._last_reset = ts.astype(np.float64).copy()
+        return reg_input, T_eff, is_kf, s1
+
+    # ---- resolve ------------------------------------------------------------
+    def _stream_result_types(self, stats: np.ndarray) -> list:
+        from sycl_points_tpu.pipeline.lidar_inertial_odometry import (
+            ResultType as LIOResult,
+        )
+
+        small = stats[:, 20] > 0.5
+        finite = stats[:, 21] > 0.5
+        # bias/velocity host mirrors (telemetry; device state chains)
+        self.gyro_bias_np = stats[:, 25:28].astype(np.float32)
+        self.accel_bias_np = stats[:, 28:31].astype(np.float32)
+        self.velocity_np = stats[:, 31:34].astype(np.float32)
+        out = []
+        for b in range(self.B):
+            if not finite[b]:
+                out.append(LIOResult.error)
+            elif small[b]:
+                out.append(LIOResult.imu_only)
+            else:
+                out.append(LIOResult.success)
+        return out

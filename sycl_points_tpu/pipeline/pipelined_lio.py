@@ -235,6 +235,7 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
             ])
             return x_new, P_new, source, T_eff, is_kf, new_carry, stats1
 
+        self._lio_step_fn = _lio_step  # raw traceable (fleet vmaps this)
         self._lio_step_jit = jax.jit(_lio_step)
 
     def _init_carry(self) -> LIOCarry:

@@ -181,3 +181,99 @@ def test_fleet_precompile_growth_ladder():
     fleet.process_batch(clouds, timestamps=0.2)
     fleet.flush()
     assert (np.asarray(fleet.map_state.dropped) == 0).all()
+
+
+@pytest.mark.slow
+def test_fleet_lio_tracks_streams():
+    """FleetLIO: B 15-DOF streams with independent IMU windows and start
+    poses must each track their constant-velocity ground truth."""
+    from sycl_points_tpu.imu.preintegration import IMUMeasurement
+    from sycl_points_tpu.parallel.fleet import FleetLIO
+    from sycl_points_tpu.pipeline.lidar_inertial_odometry import (
+        ResultType as LIOResult,
+    )
+    from tests.test_lidar_inertial_odometry import G, lio_params, make_world, scan_at
+
+    world = make_world()
+    B, n_frames, frame_dt = 2, 5, 0.1
+    vels = [np.array([2.0, 0.0, 0.0], np.float32),
+            np.array([0.0, 1.5, 0.0], np.float32)]
+    starts = [np.zeros(3, np.float32), np.array([0.0, 3.0, 0.0], np.float32)]
+
+    def T_at(s, t):
+        T = np.eye(4, dtype=np.float32)
+        T[:3, 3] = starts[s] + vels[s] * t
+        return T
+
+    init = np.stack([T_at(s, 0.0) for s in range(B)])
+    fleet = FleetLIO(lio_params(), n_streams=B, initial_poses=init)
+    for s in range(B):
+        for t in np.arange(-0.2, n_frames * frame_dt + 0.01, 1.0 / 200):
+            fleet.add_imu_measurement(s, IMUMeasurement(
+                timestamp=10.0 + t, gyro=np.zeros(3, np.float32),
+                accel=np.array([0, 0, G], np.float32),
+            ))
+    for i in range(n_frames):
+        clouds = _stack_scans(
+            world, [T_at(s, i * frame_dt) for s in range(B)]
+        )
+        fleet.process_batch(clouds, timestamps=10.0 + i * frame_dt)
+    fleet.flush()
+
+    for s in range(B):
+        assert len(fleet.pose_log[s]) == n_frames - 1
+        assert all(
+            rt is LIOResult.success for _, rt in fleet.deferred_results[s]
+        )
+        T_est = fleet.get_odometry(s)
+        T_true = T_at(s, (n_frames - 1) * frame_dt)
+        err = np.linalg.norm(T_est[:3, 3] - T_true[:3, 3])
+        assert err < 0.15, f"stream {s}: drift {err:.3f} m"
+    assert (np.asarray(fleet.map_state.dropped) == 0).all()
+    assert np.all(np.isfinite(fleet.gyro_bias_np))
+    assert np.all(np.isfinite(fleet.velocity_np))
+
+
+@pytest.mark.slow
+def test_fleet_lio_per_stream_imu_only():
+    """One stream's too-small frame must resolve as imu_only (propagated)
+    while the other stream keeps registering — per-stream result types."""
+    from sycl_points_tpu.imu.preintegration import IMUMeasurement
+    from sycl_points_tpu.parallel.fleet import FleetLIO
+    from sycl_points_tpu.pipeline.lidar_inertial_odometry import (
+        ResultType as LIOResult,
+    )
+    from tests.test_lidar_inertial_odometry import G, lio_params, make_world, scan_at
+
+    world = make_world(1000)
+    B = 2
+    fleet = FleetLIO(lio_params(), n_streams=B)
+    rng = np.random.default_rng(0)
+    for s in range(B):
+        for t in np.arange(-0.2, 0.5, 1.0 / 200):
+            fleet.add_imu_measurement(s, IMUMeasurement(
+                timestamp=10.0 + t, gyro=np.zeros(3, np.float32),
+                accel=np.array([0, 0, G], np.float32),
+            ))
+    T0 = np.eye(4, dtype=np.float32)
+    fleet.process_batch(_stack_scans(world, [T0, T0]), timestamps=10.0)
+
+    # stream 1 gets a degenerate 8-point frame, stream 0 a real scan
+    good = scan_at(world, T0)
+    tiny = np.full((good.shape[0], 3), 1e6, np.float32)
+    tiny[:8] = rng.normal(size=(8, 3)).astype(np.float32) * 3
+    clouds = PointCloud(
+        points=jnp.stack([
+            jnp.asarray(good),
+            jnp.asarray(tiny),
+        ]),
+        mask=jnp.stack([
+            jnp.ones(good.shape[0], bool),
+            jnp.concatenate([jnp.ones(8, bool), jnp.zeros(good.shape[0] - 8, bool)]),
+        ]),
+    )
+    fleet.process_batch(clouds, timestamps=10.1)
+    fleet.flush()
+    assert fleet.deferred_results[0][-1][1] is LIOResult.success
+    assert fleet.deferred_results[1][-1][1] is LIOResult.imu_only
+    assert np.all(np.isfinite(fleet.get_odometry(1)))
