@@ -4,7 +4,9 @@ Re-implements the capability of the reference reader/writer
 (``io/point_cloud_reader.hpp:20-536`` and ``io/point_cloud_writer.hpp`` in
 fateshelled/sycl_points): PLY ASCII + binary_little_endian, PCD ASCII +
 binary, with x/y/z, red/green/blue (or rgb/rgba packed), normals, and any
-field whose name contains ``intensity``.
+field whose name contains ``intensity``.  PCD ``binary_compressed`` (PCL
+LZF, structure-of-arrays layout) is additionally supported on read — the
+reference reader does not handle it (``point_cloud_reader.hpp``).
 
 Returns plain numpy dicts; :meth:`PointCloud.from_numpy` is the H2D boundary.
 """
@@ -120,8 +122,86 @@ def read_ply(path: str) -> dict:
     return _fields_to_cloud(names, columns)
 
 
+def _lzf_decompress(src: bytes, out_len: int) -> bytes:
+    """PCL/liblzf decompression (pure Python; file I/O is not a hot path).
+
+    Stream grammar: control byte < 32 -> literal run of ``ctrl+1`` bytes;
+    otherwise a back-reference of ``(ctrl >> 5) + 2`` bytes (7 extends the
+    length by the next byte) at distance ``((ctrl & 0x1f) << 8 | next) + 1``.
+    Overlapping copies are byte-serial by definition."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < out_len:
+        ctrl = src[i]
+        i += 1
+        if ctrl < 32:
+            cnt = ctrl + 1
+            out += src[i:i + cnt]
+            i += cnt
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                length += src[i]
+                i += 1
+            ref = len(out) - (((ctrl & 0x1F) << 8) | src[i]) - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("lzf: back-reference before stream start")
+            for _ in range(length + 2):
+                out.append(out[ref])
+                ref += 1
+    if len(out) != out_len:
+        raise ValueError(
+            f"lzf: decompressed {len(out)} bytes, expected {out_len}"
+        )
+    return bytes(out)
+
+
+def _lzf_compress(src: bytes) -> bytes:
+    """Greedy liblzf-style compressor (used by tests and opt-in writing;
+    output is always decompressable by :func:`_lzf_decompress` and PCL)."""
+    out = bytearray()
+    table: dict = {}
+    lit_start = 0
+    i, n = 0, len(src)
+
+    def flush_literals(end):
+        s = lit_start
+        while s < end:
+            run = min(32, end - s)
+            out.append(run - 1)
+            out.extend(src[s:s + run])
+            s += run
+
+    while i < n:
+        if i + 3 <= n:
+            key = src[i:i + 3]
+            cand = table.get(key, -1)
+            table[key] = i
+            dist = i - cand - 1
+            if cand >= 0 and 0 <= dist < (1 << 13):
+                length = 3
+                max_len = min(n - i, 264)
+                while length < max_len and src[cand + length] == src[i + length]:
+                    length += 1
+                flush_literals(i)
+                l_enc = length - 2
+                if l_enc < 7:
+                    out.append((l_enc << 5) | (dist >> 8))
+                else:
+                    out.append((7 << 5) | (dist >> 8))
+                    out.append(l_enc - 7)
+                out.append(dist & 0xFF)
+                i += length
+                lit_start = i
+                continue
+        i += 1
+    flush_literals(n)
+    return bytes(out)
+
+
 def read_pcd(path: str) -> dict:
-    """Read a PCD file (ascii or binary; binary_compressed unsupported)."""
+    """Read a PCD file (ascii, binary, or binary_compressed/LZF)."""
     with open(path, "rb") as f:
         data = f.read()
 
@@ -176,6 +256,25 @@ def read_pcd(path: str) -> dict:
         table = np.frombuffer(data, dtype=rec, count=n_points, offset=offset)
         out_names = [n for n, d, c in zip(names, dtypes, counts) if c == 1]
         columns = [table[n] for n in out_names]
+        return _fields_to_cloud(out_names, columns)
+    elif mode == "binary_compressed":
+        # PCL layout: u32 compressed_size, u32 uncompressed_size, LZF data;
+        # the uncompressed body is a structure of arrays (all x, all y, ...)
+        comp_len, uncomp_len = struct.unpack_from("<II", data, offset)
+        raw = _lzf_decompress(
+            data[offset + 8: offset + 8 + comp_len], uncomp_len
+        )
+        out_names, columns = [], []
+        pos = 0
+        for name, dt, cnt in zip(names, dtypes, counts):
+            d = np.dtype(dt).newbyteorder("<")
+            span = d.itemsize * n_points * cnt
+            if cnt == 1:
+                out_names.append(name)
+                columns.append(
+                    np.frombuffer(raw, dtype=d, count=n_points, offset=pos)
+                )
+            pos += span
         return _fields_to_cloud(out_names, columns)
     raise ValueError(f"{path}: unsupported PCD data mode {mode}")
 
@@ -238,8 +337,10 @@ def write_ply(path: str, cloud: dict, binary: bool = True) -> None:
             f.write(("\n".join(lines) + "\n").encode("ascii"))
 
 
-def write_pcd(path: str, cloud: dict, binary: bool = True) -> None:
-    """Write PCD (ascii/binary); analog of ``PointCloudWriter::writePCD``."""
+def write_pcd(path: str, cloud: dict, binary: bool = True,
+              compressed: bool = False) -> None:
+    """Write PCD (ascii/binary/binary_compressed); analog of
+    ``PointCloudWriter::writePCD`` plus the PCL LZF mode it lacks."""
     cloud = _finite_filter(cloud)
     pts = cloud["points"].astype(np.float32)
     n = len(pts)
@@ -263,12 +364,18 @@ def write_pcd(path: str, cloud: dict, binary: bool = True) -> None:
         f"TYPE {' '.join('F' for _ in fields)}\n"
         f"COUNT {' '.join('1' for _ in fields)}\n"
         f"WIDTH {n}\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\n"
-        f"DATA {'binary' if binary else 'ascii'}\n"
+        f"DATA {'binary_compressed' if compressed else 'binary' if binary else 'ascii'}\n"
     )
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
         table = np.stack([col for _, col in fields], axis=1).astype(np.float32)
-        if binary:
+        if compressed:
+            # PCL structure-of-arrays body, LZF-compressed
+            soa = np.ascontiguousarray(table.T).tobytes()
+            comp = _lzf_compress(soa)
+            f.write(struct.pack("<II", len(comp), len(soa)))
+            f.write(comp)
+        elif binary:
             f.write(np.ascontiguousarray(table).tobytes())
         else:
             f.write(("\n".join(" ".join(f"{v:.9g}" for v in row) for row in table) + "\n").encode("ascii"))

@@ -104,3 +104,41 @@ def test_merge_with_timestamps_base_shift():
     m2, start2 = merge_with_timestamps(a, b2, a_start_ms=100.0)
     assert m2.timestamp_offsets is None
     assert float(start2) == 100.0
+
+
+def test_lzf_roundtrip_paths():
+    """Both LZF stream paths: long literal runs (incompressible random
+    bytes) and back-references (repetitive data), plus overlap copies."""
+    from sycl_points_tpu.points.io import _lzf_compress, _lzf_decompress
+
+    rng = np.random.default_rng(3)
+    cases = [
+        rng.integers(0, 256, size=5000, dtype=np.uint8).tobytes(),  # literals
+        b"abcabcabcabc" * 400,                  # short-distance refs (overlap)
+        (b"x" * 300 + b"pattern" * 100) * 5,    # long runs + repeats
+        b"",                                    # empty stream
+        b"a",                                   # below match length
+    ]
+    for raw in cases:
+        comp = _lzf_compress(raw)
+        assert _lzf_decompress(comp, len(raw)) == raw
+
+
+def test_pcd_binary_compressed_roundtrip(tmp_path):
+    """binary_compressed PCD (PCL LZF, SoA layout) round-trips through the
+    writer/reader pair, including intensity."""
+    from sycl_points_tpu.points import io
+
+    rng = np.random.default_rng(7)
+    cloud = {
+        "points": rng.normal(size=(257, 3)).astype(np.float32),
+        "intensities": rng.uniform(size=257).astype(np.float32),
+    }
+    p = str(tmp_path / "c.pcd")
+    io.write_pcd(p, cloud, compressed=True)
+    # header advertises the compressed mode
+    head = open(p, "rb").read(400).decode("ascii", errors="replace")
+    assert "DATA binary_compressed" in head
+    back = io.read_pcd(p)
+    np.testing.assert_allclose(back["points"], cloud["points"], rtol=1e-6)
+    np.testing.assert_allclose(back["intensities"], cloud["intensities"], rtol=1e-6)
