@@ -41,14 +41,16 @@ G = 9.80665
 
 
 def make_world(n=3000):
+    # per-call seeded generator — see test_lidar_odometry.make_world
+    rng = np.random.default_rng(66 + n)
     per = n // 4
-    u = RNG.uniform(-8, 8, size=(per, 2)).astype(np.float32)
+    u = rng.uniform(-8, 8, size=(per, 2)).astype(np.float32)
     floor = np.stack([u[:, 0], u[:, 1], np.full(per, -1.0, np.float32)], 1)
     wall1 = np.stack([np.full(per, 8.0, np.float32), u[:, 0], u[:, 1] * 0.25], 1)
     wall2 = np.stack([u[:, 0], np.full(per, 8.0, np.float32), u[:, 1] * 0.25], 1)
-    pillars = RNG.uniform(-6, 6, size=(per, 3)).astype(np.float32) * np.array([1, 1, 0.3], np.float32)
+    pillars = rng.uniform(-6, 6, size=(per, 3)).astype(np.float32) * np.array([1, 1, 0.3], np.float32)
     world = np.concatenate([floor, wall1, wall2, pillars])
-    world += RNG.normal(scale=0.004, size=world.shape).astype(np.float32)
+    world += rng.normal(scale=0.004, size=world.shape).astype(np.float32)
     return world
 
 
