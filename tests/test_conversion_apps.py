@@ -164,3 +164,36 @@ def test_kitti_runner_pipelined_smoke(tmp_path):
     traj = np.loadtxt(out)
     assert traj.shape == (3, 8)
     assert 0.1 < traj[-1, 1] < 0.7
+
+
+def test_fleet_runner_multi_sequence(tmp_path):
+    """Two sequences of different lengths through the fleet runner: one
+    program pair serves both; the shorter stream pads with held-pose empty
+    frames that are dropped from its TUM export."""
+    from sycl_points_tpu.apps.fleet_odometry import main
+
+    rng = np.random.default_rng(12)
+    world = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    world[:, 2] *= 0.2
+    dirs = []
+    lengths = (4, 2)  # stream 1 finishes early
+    for s, n in enumerate(lengths):
+        d = tmp_path / f"seq{s}"
+        d.mkdir()
+        for i in range(n):
+            shift = np.array([0.2 * i, 0.1 * s, 0], np.float32)
+            pts = (world - shift).astype(np.float32)
+            raw = np.concatenate(
+                [pts, rng.uniform(size=(len(pts), 1)).astype(np.float32)], 1
+            )
+            raw.tofile(d / f"{i:06d}.bin")
+        dirs.append(str(d))
+
+    prefix = str(tmp_path / "fleet")
+    rc = main(dirs + ["--out-prefix", prefix])
+    assert rc == 0
+    t0 = np.loadtxt(f"{prefix}_0.tum")
+    t1 = np.loadtxt(f"{prefix}_1.tum")
+    assert t0.shape == (4, 8)
+    assert t1.shape == (2, 8)  # padding frames dropped
+    assert 0.3 < t0[-1, 1] < 0.9  # ~0.6 m forward over 4 frames
