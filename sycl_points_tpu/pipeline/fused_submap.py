@@ -194,27 +194,33 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
     state_struct = jax.eval_shape(lambda: _m.create(cfg))
     next_state_struct = jax.eval_shape(lambda: _m.create(next_cfg))
 
-    if cfg.capacity not in submap._grow_cache:
+    # compile unconditionally even when a (possibly lazy, foreground-created)
+    # jit is already cached — .lower().compile() populates the shared
+    # executable cache, so a later concrete call stays cheap either way
+    gfn = submap._grow_cache.get(cfg.capacity)
+    if gfn is None:
         gfn = jax.jit(lambda st, _c=cfg: _m.grow(st, _c)[0])
-        gfn.lower(state_struct).compile()
         submap._grow_cache[cfg.capacity] = gfn
+    gfn.lower(state_struct).compile()
 
-    if next_cfg.capacity not in submap._prebuilt_ie:
+    iefn = submap._prebuilt_ie.get(next_cfg.capacity)
+    if iefn is None:
         iefn = jax.jit(submap.make_insert_extract(next_cfg))
-        sampled = _sampled_struct(pipeline.params, arg_structs[2])
-        pose = jax.ShapeDtypeStruct((4, 4), jnp.float32)
-        iefn.lower(next_state_struct, sampled, pose).compile()
         submap._prebuilt_ie[next_cfg.capacity] = iefn
+    sampled = _sampled_struct(pipeline.params, arg_structs[2])
+    pose = jax.ShapeDtypeStruct((4, 4), jnp.float32)
+    iefn.lower(next_state_struct, sampled, pose).compile()
 
     prebuilt = getattr(pipeline, "_prebuilt_submap", {})
     pipeline._prebuilt_submap = prebuilt
-    if next_cfg.capacity not in prebuilt:
+    fn = prebuilt.get(next_cfg.capacity)
+    if fn is None:
         fn = build_submap_step(
             pipeline.params, submap, pipeline._use_pallas, robust_scale,
             ie=submap.make_insert_extract(next_cfg), cfg=next_cfg,
         )
-        fn.lower(next_state_struct, *arg_structs[1:]).compile()
         prebuilt[next_cfg.capacity] = fn
+    fn.lower(next_state_struct, *arg_structs[1:]).compile()
     return next_cfg
 
 
