@@ -54,6 +54,12 @@ def main():
     ap.add_argument("--map-capacity", type=int, default=1 << 16)
     ap.add_argument("--map-voxel", type=float, default=1.0)
     ap.add_argument("--speed", type=float, default=0.35)
+    ap.add_argument("--lio", action="store_true",
+                    help="FleetLIO: the 15-DOF inertial pipeline per stream, "
+                         "with analytic figure-8 IMU (body-frame measurements "
+                         "are invariant to each stream's z-rotated start, so "
+                         "all streams share the generator)")
+    ap.add_argument("--imu-hz", type=float, default=200.0)
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -84,22 +90,51 @@ def main():
         scans.append(per_stream)
     print(f"{args.frames}x{B} scans generated", file=sys.stderr, flush=True)
 
-    params = LidarOdometryParams(
-        scan=ScanParams(
-            downsampling=DownsamplingParams(
-                voxel=VoxelDownsamplingParams(enable=True, size=1.0),
-                polar=PolarDownsamplingParams(enable=False),
-                random=RandomDownsamplingParams(enable=True, num=5000),
-            ),
+    scan_params = ScanParams(
+        downsampling=DownsamplingParams(
+            voxel=VoxelDownsamplingParams(enable=True, size=1.0),
+            polar=PolarDownsamplingParams(enable=False),
+            random=RandomDownsamplingParams(enable=True, num=5000),
         ),
-        submap=SubmapParams(map_type="VOXEL_HASH_MAP", voxel_size=args.map_voxel,
-                            map_capacity=args.map_capacity,
-                            point_random_sampling_num=512),
     )
-    fleet = FleetOdometry(
-        params, n_streams=B,
-        initial_poses=np.stack([t[0] for t in trajs]),
+    submap_params = SubmapParams(
+        map_type="VOXEL_HASH_MAP", voxel_size=args.map_voxel,
+        map_capacity=args.map_capacity, point_random_sampling_num=512,
     )
+    init_poses = np.stack([t[0] for t in trajs])
+    if args.lio:
+        from sycl_points_tpu.imu.preintegration import IMUMeasurement
+        from sycl_points_tpu.parallel.fleet import FleetLIO
+        from sycl_points_tpu.pipeline.params import (
+            IMUParams,
+            IMUPreintegrationParams,
+            LidarInertialOdometryParams,
+        )
+        from synthetic_velodyne import figure8_imu
+
+        params = LidarInertialOdometryParams(
+            scan=scan_params, submap=submap_params,
+            imu=IMUParams(enable=True, preintegration=IMUPreintegrationParams(
+                gyro_noise_density=1e-3, accel_noise_density=1e-2,
+                gyro_bias_rw_density=1e-5, accel_bias_rw_density=1e-4,
+            )),
+        )
+        fleet = FleetLIO(params, n_streams=B, initial_poses=init_poses)
+
+        def feed_imu(t_from, t_to):
+            n = max(int(round((t_to - t_from) * args.imu_hz)), 1)
+            for k in range(n + 1):
+                t = t_from + (t_to - t_from) * k / n
+                g, a = figure8_imu(t, speed=args.speed)
+                for s in range(B):
+                    fleet.add_imu_measurement(s, IMUMeasurement(
+                        timestamp=t, gyro=g.astype(np.float32),
+                        accel=a.astype(np.float32),
+                    ))
+    else:
+        params = LidarOdometryParams(scan=scan_params, submap=submap_params)
+        fleet = FleetOdometry(params, n_streams=B, initial_poses=init_poses)
+        feed_imu = None
 
     def stack_frame(i):
         clouds = [PointCloud.from_numpy(p, capacity=raw_cap) for p in scans[i]]
@@ -111,9 +146,19 @@ def main():
     frame_times = []
     for i in range(args.frames):
         stacked = stack_frame(i)  # untimed h2d
+        if feed_imu is not None:
+            feed_imu(max(0.1 * i - 0.1, -0.05), 0.1 * i)
         t0 = time.perf_counter()
         fleet.process_batch(stacked, timestamps=0.1 * i)
         dt = time.perf_counter() - t0
+        if i == 0 and feed_imu is not None:
+            # seed the known initial velocity per stream (the figure-8
+            # starts in motion; see bench_lio_replay.py)
+            s_dot = args.speed / (0.1 * 18.0)
+            v0 = np.array([18.0 * s_dot, 18.0 * s_dot, 0.0], np.float32)
+            v0s = np.stack([t[0][:3, :3] @ v0 for t in trajs])
+            fleet.x = fleet.x._replace(velocity=jnp.asarray(v0s))
+            fleet.velocity_np = v0s
         if i >= args.warmup:
             frame_times.append(dt)
         if i in (0, 1, args.warmup):
@@ -132,12 +177,12 @@ def main():
         err = np.sqrt(np.sum((est - gt) ** 2, axis=1))
         ates.append(float(np.sqrt(np.mean(err ** 2))))
         ok += sum(
-            1 for _, rt in fleet.deferred_results[s] if rt is ResultType.success
-        )
+            1 for _, rt in fleet.deferred_results[s] if rt.name == "success"
+        )  # .name: the LO and LIO pipelines use distinct ResultType enums
 
     ms_frame = float(np.mean(frame_times)) * 1e3
     out = {
-        "config": "fleet-odometry",
+        "config": "fleet-lio" if args.lio else "fleet-odometry",
         "streams": B,
         "frames": args.frames,
         "raw_points_per_scan": int(raw_cap),
