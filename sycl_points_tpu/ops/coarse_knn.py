@@ -57,6 +57,8 @@ class CoarseKNN:
     valid: jax.Array       # [C] cell occupied
     overflow: jax.Array    # scalar i32: points beyond the per-cell budget
     cells_lost: jax.Array  # scalar i32: cells beyond the C capacity
+    points_lost: jax.Array  # scalar i32: valid points outside the sort-key
+    # extent/coordinate budget (ops/voxel.py) — invisible to search
     max_per_cell: int = dataclasses.field(metadata=dict(static=True), default=64)
 
     @staticmethod
@@ -73,7 +75,7 @@ class CoarseKNN:
         # reports any shortfall (certificates then report uncertified)
         C = cells_capacity or max(256, 1 << (max(N // 8, 1) - 1).bit_length())
         coords, ok = voxel_coords(cloud.points, cloud.mask, coarse_cell)
-        order, _coords_s, ok_s, seg_id, _new_seg, _lost = sort_by_cell(coords, ok)
+        order, _coords_s, ok_s, seg_id, _new_seg, n_lost = sort_by_cell(coords, ok)
         pts_s = cloud.points[order]
 
         pos = jnp.arange(N, dtype=jnp.int32)
@@ -103,6 +105,7 @@ class CoarseKNN:
             valid=counts[:C] > 0,
             overflow=over,
             cells_lost=jnp.maximum(lost_cells, 0),
+            points_lost=jnp.asarray(n_lost, jnp.int32),
             max_per_cell=max_per_cell,
         )
 
@@ -140,13 +143,14 @@ class CoarseKNN:
             d_cent = jnp.sqrt(d2c)
             lb = jnp.maximum(d_cent - self.radii[None, :] - margin, 0.0)
             lb = jnp.where(self.valid[None, :], lb, _BIG)
-            neg_lb, cells = jax.lax.top_k(-lb, P)          # [q, P]
-            lb_sel = -neg_lb
-            # tightest lower bound among NON-selected cells: P+1-th best
+            # one top-k gives both the P selected cells and the tightest
+            # unexplored bound (the P+1-th best)
             if P < lb.shape[1]:
-                neg_next, _ = jax.lax.top_k(-lb, P + 1)
-                lb_unexplored = -neg_next[:, P]
+                neg_lb, cells_all = jax.lax.top_k(-lb, P + 1)
+                cells = cells_all[:, :P]
+                lb_unexplored = -neg_lb[:, P]
             else:
+                _neg_lb, cells = jax.lax.top_k(-lb, P)
                 lb_unexplored = jnp.full((qc.shape[0],), _BIG)
 
             # gather the candidate block: [q, P, L]
@@ -179,6 +183,7 @@ class CoarseKNN:
                 (kth <= lb_unexplored)
                 & sel_complete
                 & (self.cells_lost == 0)
+                & (self.points_lost == 0)
             )
             return ik.astype(jnp.int32), dk, certified
 

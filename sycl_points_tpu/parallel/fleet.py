@@ -24,6 +24,10 @@ Semantics and scope (v1, documented deltas vs the single-stream pipelines):
   (``pipeline/submap.py`` docstrings; voxel_hash_map.hpp:121-124).
 - Per-point-timestamp deskew publishing is not supported (same constraint
   as the pipelined single-stream classes, which this layer vmaps).
+- Non-increasing per-stream timestamps are processed with a fallback
+  dt=0.1 instead of the single-stream ``old_timestamp`` rejection (the
+  fleet dispatches one program for all streams; serving clients are
+  expected to feed monotone clocks).
   :class:`FleetLIO` batches the full 15-DOF inertial pipeline — per-stream
   IMU windows, preintegration, bias states — with the same program-pair
   structure.
@@ -98,9 +102,12 @@ class FleetOdometry:
         seed: int = 7,
     ):
         # the template builds (and owns) the raw single-stream traceables;
-        # its own jits/threads stay unused
+        # its own jits/threads stay unused, and its single-stream map state
+        # (tens of MB of HBM at serving capacities) is freed — the fleet
+        # always creates its own stacked states
         t = self._make_template(params, map_prior_params)
         t.growth_precompile = False
+        t.submap.map_state = None
         self._t = t
         self.params = params
         self.B = int(n_streams)
@@ -475,6 +482,10 @@ class FleetOdometry:
             for b in range(self.B)
         ]
 
+    def _kf_col(self) -> int:
+        """stats1 column of the is_kf flag (LO layout)."""
+        return 20
+
     def _resolve_one(self, pend: _Pending) -> None:
         stats = np.asarray(pend.stats)  # [B, S]
         B = self.B
@@ -491,7 +502,12 @@ class FleetOdometry:
             self.pose_log[b].append(
                 (pend.frame_index, float(pend.timestamps[b]), T_np[b], rtypes[b])
             )
-        self.extract_overflow = overflow.astype(np.int64)
+        # per-insert telemetry: only keyframe streams ran extraction, so a
+        # non-keyframe stream's stats2 overflow=0 must not zero its mirror
+        kf = stats[:, self._kf_col()] > 0.5
+        self.extract_overflow = np.where(
+            kf, overflow.astype(np.int64), self.extract_overflow
+        )
         self.budget_lost = budget_lost
 
         if pend.frame_index <= self._reconciled_until:
@@ -550,9 +566,6 @@ class FleetOdometry:
         self.map_state = new_state
         self.extract_overflow = np.asarray(overflow).astype(np.int64)
 
-        # rebuild the fleet target from the final extraction
-        self._rebuild_target(extracted)
-
         for later in self._pending:
             # re-apply with the same grow-on-new-drop retry (the stashed
             # insert usually fits after the first growth, but must never be
@@ -561,7 +574,7 @@ class FleetOdometry:
             base2 = self.map_state
             for attempt in range(max_grow):
                 ie = self._ie_jit_for(self.map_capacity)
-                new_state, _extracted, _load, overflow = ie(
+                new_state, extracted, _load, overflow = ie(
                     base2, later.sampled, later.T_eff
                 )
                 no_new = (
@@ -575,6 +588,12 @@ class FleetOdometry:
             self._reconciled_until = later.frame_index
         self._reconciled_until = max(self._reconciled_until, pend.frame_index)
         self._dropped_seen = np.asarray(self.map_state.dropped, np.int64)
+
+        # rebuild the fleet registration target from the LAST re-applied
+        # insert's extraction, so later in-flight keyframe contributions are
+        # included (mirrors the single-stream slow path, which rebuilds the
+        # target on every re-apply)
+        self._rebuild_target(extracted)
 
     def _rebuild_target(self, extracted: PointCloud) -> None:
         min_pts = self.params.registration.min_num_points
@@ -750,3 +769,6 @@ class FleetLIO(FleetOdometry):
             else:
                 out.append(LIOResult.success)
         return out
+
+    def _kf_col(self) -> int:
+        return 19  # LIO stats1 layout

@@ -478,9 +478,11 @@ class LidarOdometry:
             points=new_submap.points, mask=new_submap.mask,
             use_pallas=self._use_pallas,
         )
-        self.submap.extract_overflow = int(overflow)
         self.submap.budget_lost = int(budget_lost)
         if kf_flag > 0.5:
+            # per-insert telemetry: only keyframes run extraction, so a
+            # non-keyframe frame's stats2 overflow=0 must not zero it
+            self.submap.extract_overflow = int(overflow)
             self.submap.last_keyframe_cloud = sampled
             # the occupancy backend inserts every frame without keyframe
             # bookkeeping (submapping.hpp:99-121 keyframes are VHM-only)

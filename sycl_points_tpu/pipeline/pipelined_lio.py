@@ -343,7 +343,10 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
                 T_np[:3, :3] @ self.params.imu.T_imu_to_lidar_matrix()[:3, :3]
             )
             self.imu_v_world_at_reset = self.velocity_np
-        self.submap.extract_overflow = int(overflow)
+        if kf_flag > 0.5:
+            # per-insert telemetry: only keyframes run extraction, so a
+            # non-keyframe frame's stats2 overflow=0 must not zero it
+            self.submap.extract_overflow = int(overflow)
         self.submap.budget_lost = int(budget_lost)
         if kf_flag > 0.5:
             self.submap.last_keyframe_cloud = pend.sampled

@@ -380,7 +380,10 @@ class PipelinedLidarOdometry(LidarOdometry):
         # device carry)
         self._prev_Hraw_np = H_raw_np
         self._prev_inlier = int(n_inlier)
-        self.submap.extract_overflow = int(overflow)
+        if kf_flag > 0.5:
+            # per-insert telemetry: only keyframes run extraction, so a
+            # non-keyframe frame's stats2 overflow=0 must not zero it
+            self.submap.extract_overflow = int(overflow)
         self.submap.budget_lost = int(budget_lost)
         if rtype is ResultType.success:
             self.prev_odom = self.odom.copy()

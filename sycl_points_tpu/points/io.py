@@ -48,11 +48,12 @@ def _fields_to_cloud(names, columns) -> dict:
         rgb = np.stack([cols["red"], cols["green"], cols["blue"]], axis=1).astype(np.float32)
         if rgb.max(initial=0.0) > 1.0:
             rgb = rgb / 255.0
-        alpha = (
-            (cols["alpha"].astype(np.float32) / 255.0)
-            if "alpha" in cols
-            else np.ones(len(rgb), dtype=np.float32)
-        )
+        if "alpha" in cols:
+            alpha = cols["alpha"].astype(np.float32)
+            if alpha.max(initial=0.0) > 1.0:  # same heuristic as rgb above
+                alpha = alpha / 255.0
+        else:
+            alpha = np.ones(len(rgb), dtype=np.float32)
         out["rgb"] = np.concatenate([rgb, alpha[:, None]], axis=1)
     elif "rgb" in cols or "rgba" in cols:
         packed = cols.get("rgb", cols.get("rgba"))
@@ -88,6 +89,7 @@ def read_ply(path: str) -> dict:
     n_vertex = 0
     props: list[tuple[str, np.dtype]] = []
     in_vertex = False
+    seen_vertex = False
     for line in header.splitlines():
         tok = line.strip().split()
         if not tok:
@@ -98,6 +100,15 @@ def read_ply(path: str) -> dict:
             in_vertex = tok[1] == "vertex"
             if in_vertex:
                 n_vertex = int(tok[2])
+                seen_vertex = True
+            elif not seen_vertex and int(tok[2]) > 0:
+                # the body parsers below start at header_end, so a non-empty
+                # element BEFORE vertex would be silently misparsed as
+                # vertex records
+                raise ValueError(
+                    f"{path}: element '{tok[1]}' precedes 'vertex' — "
+                    "only vertex-first PLY layouts are supported"
+                )
         elif tok[0] == "property" and in_vertex:
             if tok[1] == "list":
                 raise ValueError(f"{path}: list properties not supported for vertices")
@@ -106,7 +117,7 @@ def read_ply(path: str) -> dict:
     names = [p[0] for p in props]
     if fmt == "ascii":
         body = data[header_end:].decode("ascii")
-        table = np.fromstring(body, sep=" ") if False else np.array(body.split(), dtype=np.float64)
+        table = np.array(body.split(), dtype=np.float64)
         table = table[: n_vertex * len(props)].reshape(n_vertex, len(props))
         columns = [table[:, i].astype(props[i][1]) for i in range(len(props))]
     elif fmt == "binary_little_endian":
@@ -209,6 +220,8 @@ def read_pcd(path: str) -> dict:
     offset = 0
     while True:
         nl = data.find(b"\n", offset)
+        if nl < 0:  # no DATA line: truncated/non-PCD file, not a hang
+            raise ValueError(f"{path}: PCD header has no DATA line")
         line = data[offset:nl].decode("ascii", errors="replace").strip()
         offset = nl + 1
         if line and not line.startswith("#"):
