@@ -68,8 +68,11 @@ def main():
 
     world = World()
     base = figure8_trajectory(args.frames, speed=args.speed)
-    # per-stream starts: rotate/offset the shared figure-8
+    # per-stream starts: rotate/offset the shared figure-8 (stream_rots is
+    # the per-stream transform alone — NOT trajs[s][0], which also contains
+    # the base figure-8's initial pi/4 yaw)
     trajs = []
+    stream_rots = []
     for s in range(B):
         yaw = 2.0 * np.pi * s / B
         c, si = np.cos(yaw), np.sin(yaw)
@@ -77,6 +80,7 @@ def main():
         R[:3, :3] = np.array([[c, -si, 0], [si, c, 0], [0, 0, 1]], np.float32)
         R[0, 3] = 3.0 * (s % 4)
         trajs.append([(R @ T).astype(np.float32) for T in base])
+        stream_rots.append(R[:3, :3].copy())
 
     raw_cap = pad_capacity_for(args.az * args.rings)
     scans = []  # [frame][stream] -> np pts
@@ -156,7 +160,10 @@ def main():
             # starts in motion; see bench_lio_replay.py)
             s_dot = args.speed / (0.1 * 18.0)
             v0 = np.array([18.0 * s_dot, 18.0 * s_dot, 0.0], np.float32)
-            v0s = np.stack([t[0][:3, :3] @ v0 for t in trajs])
+            # v0 is already the WORLD-frame velocity of the base figure-8
+            # (bench_lio_replay seeds it unrotated); only the per-stream
+            # transform applies
+            v0s = np.stack([R @ v0 for R in stream_rots])
             fleet.x = fleet.x._replace(velocity=jnp.asarray(v0s))
             fleet.velocity_np = v0s
         if i >= args.warmup:

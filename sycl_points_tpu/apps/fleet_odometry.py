@@ -58,12 +58,15 @@ def run_fleet(
     raw_cap = pad_capacity_for(int(max(first_lens) * 1.3))
 
     fleet = FleetOdometry(params, n_streams=B)
+    truncated = np.zeros(B, np.int64)  # no silent caps: count tail losses
     t_start = time.perf_counter()
     for i in range(n_frames):
         pts_b, mask_b = [], []
         for s, files in enumerate(files_per_stream):
             if i < len(files):
-                pts = _load_scan(files[i])[:raw_cap]
+                full = _load_scan(files[i])
+                truncated[s] += max(0, len(full) - raw_cap)
+                pts = full[:raw_cap]
                 pad = raw_cap - len(pts)
                 pts_b.append(np.pad(pts, ((0, pad), (0, 0))))
                 mask_b.append(np.concatenate(
@@ -92,6 +95,14 @@ def run_fleet(
         f"{total / n_frames / B * 1e3:.2f} ms/stream-frame)",
         file=log,
     )
+
+    if truncated.any():
+        print(
+            "WARNING: scans exceeded the capacity tier sized from frame 0 "
+            f"(raw_cap={raw_cap}); truncated points per stream: "
+            f"{truncated.tolist()}",
+            file=log,
+        )
 
     outs = []
     for s, files in enumerate(files_per_stream):

@@ -41,6 +41,7 @@ def save_checkpoint(path: str, odometry) -> None:
         "dt": np.float64(odometry.dt),
         "last_frame_time": np.float64(odometry.last_frame_time),
         "is_first_frame": np.bool_(odometry.is_first_frame),
+        "frame_count": np.int64(getattr(odometry, "frame_count", 0)),
         "keyframe_poses": np.stack(odometry.submap.keyframe_poses),
         "last_keyframe_pose": np.asarray(odometry.submap.last_keyframe_pose),
         "last_keyframe_time": np.float64(odometry.submap.last_keyframe_time),
@@ -85,6 +86,8 @@ def load_checkpoint(path: str, odometry) -> None:
     odometry.dt = float(z["dt"])
     odometry.last_frame_time = float(z["last_frame_time"])
     odometry.is_first_frame = bool(z["is_first_frame"])
+    if "frame_count" in z:  # keeps post-resume frame indices monotone
+        odometry.frame_count = int(z["frame_count"])
     odometry.submap.keyframe_poses = list(z["keyframe_poses"])
     odometry.submap.last_keyframe_pose = z["last_keyframe_pose"]
     odometry.submap.last_keyframe_time = float(z["last_keyframe_time"])
@@ -103,6 +106,11 @@ def load_checkpoint(path: str, odometry) -> None:
             sm.vhm_config = dataclasses.replace(sm.vhm_config, capacity=loaded_cap)
         sm._rebuild_insert_extract()
     sm.map_state = dataclasses.replace(ms, **kwargs)
+    # re-sync the drop mirror: map_state.dropped is cumulative, and a fresh
+    # instance's _dropped_seen=0 would read a restored nonzero counter as a
+    # new drop and fire the growth slow path on the first resumed frame
+    if "map_dropped" in z:
+        odometry._dropped_seen = int(z["map_dropped"])
 
     if "linear_velocity" in z:
         odometry.linear_velocity = z["linear_velocity"]

@@ -101,7 +101,6 @@ class _Pending(NamedTuple):
     prev_map_state: object
     T_eff: jax.Array          # device pose handle (drop-retry re-insert)
     preprocessed: PointCloud
-    prev_odom_np: np.ndarray  # host mirror at dispatch time (publish deskew)
     timestamp: float
     dt: float
     frame_index: int
@@ -337,7 +336,6 @@ class PipelinedLidarOdometry(LidarOdometry):
         self._pending.append(_Pending(
             stats=stats, sampled=sampled, prev_map_state=prev_map_state,
             T_eff=T_eff, preprocessed=self.preprocessed,
-            prev_odom_np=self.odom.copy(),
             timestamp=timestamp, dt=self.dt, frame_index=self.frame_count,
         ))
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
@@ -404,7 +402,11 @@ class PipelinedLidarOdometry(LidarOdometry):
                 self.submap.last_keyframe_time = pend.timestamp
                 self.submap.keyframe_poses.append(self.submap.last_keyframe_pose)
 
-        # publish deskew (full-resolution, CV) — one frame late by design
+        # publish deskew (full-resolution, CV) — one frame late by design.
+        # Twist MUST span exactly this frame: resolution is FIFO, so
+        # self.prev_odom (just committed above) is pose[j-1] and pend.dt is
+        # frame j's dt — the dispatch-time mirror was k frames stale in the
+        # deep-pipeline regime and self.dt belongs to the newest frame.
         if (
             rtype is ResultType.success
             and self.pipeline_params.velocity_update.enable
@@ -413,8 +415,8 @@ class PipelinedLidarOdometry(LidarOdometry):
         ):
             self.preprocessed = self._deskew_jit(
                 pend.preprocessed,
-                jnp.asarray(pend.prev_odom_np), jnp.asarray(T_np),
-                jnp.float32(self.dt),
+                jnp.asarray(self.prev_odom), jnp.asarray(T_np),
+                jnp.float32(pend.dt),
             )
 
         # growth policy (rare host slow path; syncs when it fires).  Frames
