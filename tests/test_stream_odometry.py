@@ -1,0 +1,279 @@
+"""Live streaming transport tests: protocol round trip, keep-last QoS,
+and end-to-end odometry over a localhost socket (the ROS-less analog of the
+reference's live-node integration, ros2/sycl_points_ros2/src/*_node.cpp)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from sycl_points_tpu.apps import stream_protocol as sp
+from sycl_points_tpu.apps.stream_odometry import (
+    OdometryStreamClient,
+    OdometryStreamServer,
+    StreamServerConfig,
+    _KeepLastQueue,
+)
+from sycl_points_tpu.pipeline.params import (
+    AngleIncidenceFilterParams,
+    BoxFilterParams,
+    CovarianceEstimationParams,
+    DownsamplingParams,
+    KeyframeParams,
+    LidarOdometryParams,
+    MEstimationParams,
+    PolarDownsamplingParams,
+    PreprocessParams,
+    RandomDownsamplingParams,
+    RandomSamplingParams,
+    RegistrationBlockParams,
+    ScanParams,
+    SubmapParams,
+    VoxelDownsamplingParams,
+)
+from sycl_points_tpu.registration.factors import RegType
+from sycl_points_tpu.registration.registration import RegistrationParams
+
+RNG = np.random.default_rng(77)
+
+
+# -- protocol unit tests -------------------------------------------------------
+
+def test_protocol_pointcloud_roundtrip():
+    cloud = {
+        "points": RNG.uniform(-5, 5, size=(100, 3)).astype(np.float32),
+        "intensities": RNG.uniform(0, 1, size=100).astype(np.float32),
+        "timestamp_offsets": np.linspace(0, 80, 100).astype(np.float32),
+    }
+    payload = sp.cloud_to_payload(cloud)
+    out = sp.payload_to_cloud(payload)
+    np.testing.assert_allclose(out["points"], cloud["points"], rtol=1e-6)
+    np.testing.assert_allclose(out["intensities"], cloud["intensities"])
+    # conversion normalizes time offsets to ms-from-start; ours already are
+    np.testing.assert_allclose(
+        out["timestamp_offsets"], cloud["timestamp_offsets"], atol=1e-3
+    )
+
+
+def test_protocol_message_framing_roundtrip():
+    msg = sp.Message(msg_type=sp.MSG_IMU, seq=42, timestamp=123.456,
+                     payload=sp.encode_imu_payload([0.1, 0.2, 0.3],
+                                                   [0, 0, 9.81]),
+                     flags=sp.FLAG_WANT_MAP)
+    raw = sp.encode(msg)
+    mt, flags, seq, ts, plen = sp.decode_header(raw[:sp.HEADER_SIZE])
+    assert (mt, flags, seq) == (sp.MSG_IMU, sp.FLAG_WANT_MAP, 42)
+    assert ts == pytest.approx(123.456)
+    gyro, accel = sp.decode_imu_payload(raw[sp.HEADER_SIZE:])
+    np.testing.assert_allclose(gyro, [0.1, 0.2, 0.3], rtol=1e-6)
+    np.testing.assert_allclose(accel, [0, 0, 9.81], rtol=1e-6)
+
+
+def test_protocol_pose_roundtrip():
+    t = np.array([1.5, -2.0, 0.25], np.float32)
+    q = np.array([0.0, 0.0, 0.3827, 0.9239], np.float32)
+    payload = sp.encode_pose_payload(7, 0, 123.0, t, q)
+    seq, code, inlier, t2, q2 = sp.decode_pose_payload(payload)
+    assert (seq, code) == (7, 0)
+    assert inlier == pytest.approx(123.0)
+    np.testing.assert_allclose(t2, t)
+    np.testing.assert_allclose(q2, q, atol=1e-6)
+
+
+def test_protocol_status_and_bad_magic():
+    st = {"frames": 3, "dropped": 0}
+    assert sp.decode_status_payload(sp.encode_status_payload(st)) == st
+    with pytest.raises(sp.ProtocolError):
+        sp.decode_header(b"XXXX" + b"\0" * (sp.HEADER_SIZE - 4))
+
+
+def test_keep_last_queue_drops_oldest_counted():
+    q = _KeepLastQueue(depth=3)
+    for i in range(5):
+        q.push(i)
+    assert q.dropped == 2
+    assert q.pop() == 2  # oldest two (0, 1) were dropped
+    assert len(q) == 2
+
+
+# -- end-to-end over localhost ---------------------------------------------------
+
+def _world(n=3000):
+    rng = np.random.default_rng(123)
+    per = n // 3
+    u = rng.uniform(-8, 8, size=(per, 2)).astype(np.float32)
+    floor = np.stack([u[:, 0], u[:, 1], np.full(per, -1.0, np.float32)], 1)
+    wall1 = np.stack([np.full(per, 8.0, np.float32), u[:, 0], u[:, 1] * 0.25], 1)
+    wall2 = np.stack([u[:, 0], np.full(per, 8.0, np.float32), u[:, 1] * 0.25], 1)
+    w = np.concatenate([floor, wall1, wall2])
+    return w + rng.normal(scale=0.005, size=w.shape).astype(np.float32)
+
+
+def _scan_at(world, shift):
+    local = world - np.asarray(shift, np.float32)
+    keep = np.linalg.norm(local, axis=1) < 20.0
+    return local[keep].astype(np.float32)
+
+
+def _small_params(iters=8):
+    return LidarOdometryParams(
+        scan=ScanParams(
+            downsampling=DownsamplingParams(
+                voxel=VoxelDownsamplingParams(enable=True, size=0.4),
+                polar=PolarDownsamplingParams(enable=False),
+                random=RandomDownsamplingParams(enable=True, num=1024),
+            ),
+            preprocess=PreprocessParams(
+                box_filter=BoxFilterParams(enable=True, min=0.5, max=30.0),
+                angle_incidence_filter=AngleIncidenceFilterParams(enable=False),
+            ),
+        ),
+        submap=SubmapParams(
+            map_type="VOXEL_HASH_MAP",
+            voxel_size=0.5,
+            point_random_sampling_num=512,
+            keyframe=KeyframeParams(
+                inlier_ratio_threshold=0.1,
+                distance_threshold=0.1,
+                angle_threshold_degrees=5.0,
+                time_threshold_seconds=0.5,
+            ),
+            map_capacity=1 << 13,
+            extract_capacity=1 << 11,
+        ),
+        covariance_estimation=CovarianceEstimationParams(
+            m_estimation=MEstimationParams(enable=False)
+        ),
+        registration=RegistrationBlockParams(
+            min_num_points=50,
+            factor=RegistrationParams(reg_type=RegType.GICP,
+                                      max_iterations=iters),
+        ),
+        registration_sampling=RandomSamplingParams(enable=True, num=512),
+        scan_capacity=1 << 11,
+    )
+
+
+@pytest.mark.slow
+def test_stream_lo_end_to_end():
+    world = _world()
+    server = OdometryStreamServer(
+        _small_params(),
+        StreamServerConfig(pipeline="lo", scan_capacity=1 << 12),
+    )
+    server.start()
+    try:
+        client = OdometryStreamClient("127.0.0.1", server.port, timeout=900.0)
+        n_frames = 5
+        poses = []
+        for i in range(n_frames):
+            shift = [0.2 * i, 0.0, 0.0]
+            pts = _scan_at(world, shift)
+            client.send_cloud(
+                {"points": pts}, timestamp=0.1 * i,
+                want_map=(i == n_frames - 1),
+            )
+            poses.append(client.recv_pose())
+        # first frame bootstraps; the rest register
+        assert poses[0][1] == 1  # first_frame
+        assert all(p[1] == 0 for p in poses[1:])  # success
+        # the sensor moved +x in the world => odometry x grows
+        xs = [p[3][0] for p in poses]
+        assert xs[-1] > 0.5, f"expected forward motion, got x={xs}"
+        for p in poses:
+            assert np.all(np.isfinite(p[3])) and np.all(np.isfinite(p[4]))
+        # map snapshot requested with the last scan
+        tail = client.finish()
+        maps = [m for m in client.side_messages + tail
+                if m.msg_type == sp.MSG_MAP]
+        assert maps, "MAP snapshot was requested but never arrived"
+        map_cloud = sp.payload_to_cloud(maps[-1].payload)
+        assert len(map_cloud["points"]) > 100
+        assert np.all(np.isfinite(map_cloud["points"]))
+        assert server.telemetry()["scan_queue_dropped"] == 0
+    finally:
+        server.stop()
+
+
+@pytest.mark.slow
+def test_stream_lo_pipelined_flush_delivers_all_poses():
+    world = _world()
+    server = OdometryStreamServer(
+        _small_params(),
+        StreamServerConfig(pipeline="lo_pipelined", scan_capacity=1 << 12),
+    )
+    server.start()
+    try:
+        client = OdometryStreamClient("127.0.0.1", server.port, timeout=900.0)
+        n_frames = 5
+        for i in range(n_frames):
+            pts = _scan_at(world, [0.2 * i, 0.0, 0.0])
+            client.send_cloud({"points": pts}, timestamp=0.1 * i)
+            time.sleep(0.05)  # lockstep-ish; QoS depth still covers bursts
+        tail = client.finish()
+        pose_msgs = [m for m in tail if m.msg_type == sp.MSG_POSE]
+        # the pipelined pipeline logs poses from frame 1 on (frame 0 boots)
+        assert len(pose_msgs) >= n_frames - 1, (
+            f"expected >= {n_frames - 1} poses after flush, "
+            f"got {len(pose_msgs)}"
+        )
+        decoded = [sp.decode_pose_payload(m.payload) for m in pose_msgs]
+        xs = [d[3][0] for d in decoded]
+        assert xs[-1] > 0.4
+        status = [m for m in tail if m.msg_type == sp.MSG_STATUS]
+        assert status, "final STATUS telemetry missing"
+        st = sp.decode_status_payload(status[-1].payload)
+        assert st["frames_processed"] == n_frames
+    finally:
+        server.stop()
+
+
+@pytest.mark.slow
+def test_stream_truncation_is_counted_not_silent():
+    world = _world(1200)
+    cap = 1 << 9
+    server = OdometryStreamServer(
+        _small_params(iters=4),
+        StreamServerConfig(pipeline="lo", scan_capacity=cap),
+    )
+    server.start()
+    try:
+        client = OdometryStreamClient("127.0.0.1", server.port, timeout=900.0)
+        pts = _scan_at(world, [0, 0, 0])
+        assert len(pts) > cap
+        client.send_cloud({"points": pts}, timestamp=0.0)
+        client.recv_pose()
+        statuses = [m for m in client.side_messages
+                    if m.msg_type == sp.MSG_STATUS]
+        assert statuses, "truncation STATUS missing"
+        st = sp.decode_status_payload(statuses[0].payload)
+        assert st["truncated_points"] == len(pts) - cap
+        assert server.frames_truncated_points == 1
+        client.finish()
+    finally:
+        server.stop()
+
+
+def test_imu_routing_reaches_pipeline():
+    """IMU messages are queued by the reader and fed to the pipeline in
+    arrival order before the next scan (transport-level check; the full LIO
+    math has its own suite)."""
+    server = OdometryStreamServer(
+        _small_params(iters=2),
+        StreamServerConfig(pipeline="lo", scan_capacity=1 << 10),
+    )
+    server.start()
+    try:
+        client = OdometryStreamClient("127.0.0.1", server.port, timeout=900.0)
+        for i in range(10):
+            client.send_imu(0.01 * i, gyro=[0, 0, 0.1], accel=[0, 0, 9.81])
+        # a scan flushes the IMU queue into the pipeline buffer
+        pts = _world(900)
+        client.send_cloud({"points": pts}, timestamp=0.2)
+        client.recv_pose()
+        assert len(server.pipeline.imu_buffer) == 10
+        ts = [m.timestamp for m in server.pipeline.imu_buffer]
+        assert ts == sorted(ts)
+        client.finish()
+    finally:
+        server.stop()
