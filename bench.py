@@ -188,11 +188,15 @@ def main():
     k2 = keys[200]
 
     def med_sync(fn, iters=5):
-        jax.device_get(fn(src, tgt, k2))
+        # Salt the key argument EVERY call: the runtime memoizes results per
+        # (executable, inputs), so repeat calls with identical args return
+        # without executing and the loop times pure link overhead.
+        ks = jax.random.split(k2, iters + 1)
+        jax.device_get(fn(src, tgt, ks[0]))
         ts = []
-        for _ in range(iters):
+        for i in range(iters):
             t0 = time.perf_counter()
-            jax.device_get(fn(src, tgt, k2))
+            jax.device_get(fn(src, tgt, ks[i + 1]))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 

@@ -2,6 +2,8 @@
 Markers let retries skip completed jobs after a mid-run wedge."""
 import os, runpy, sys, traceback
 os.chdir("/root/repo")
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
 JOBS = [
     ("bench_headline", "bench.py", []),
     ("growth_pl", "benchmarks/bench_odometry_replay.py",
