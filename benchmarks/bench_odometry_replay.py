@@ -124,6 +124,7 @@ def main():
 
     stage_sums = {}
     frame_times = []
+    sync_counts = []
     est_poses = []
     growth_events = []
     failed_frames = []
@@ -149,6 +150,7 @@ def main():
                   file=sys.stderr, flush=True)
         if i >= args.warmup:
             frame_times.append(dt)
+            sync_counts.append(odo.sync_count_last_frame)
             for k, v in odo.processing_times.items():
                 stage_sums[k] = stage_sums.get(k, 0.0) + v
         if i in (0, 1, args.warmup):
@@ -199,7 +201,8 @@ def main():
         "ms_per_frame_max": round(float(np.max(frame_times)) * 1e3, 2),
         "stage_ms": stages_ms,
         "link_floor_ms": round(link_floor_ms, 2),
-        "device_syncs_per_frame": odo.sync_count_last_frame,
+        "device_syncs_per_frame": int(np.median(sync_counts)),
+        "device_syncs_max": int(np.max(sync_counts)),
         "ate_translation_m": round(ate, 3),
         "map_capacity_final": odo.submap.map_capacity,
         "map_voxels_final": int(np.asarray(odo.submap.map_state.used).sum()),

@@ -221,6 +221,23 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
         )
         prebuilt[next_cfg.capacity] = fn
     fn.lower(next_state_struct, *arg_structs[1:]).compile()
+
+    # Pipelined pipelines additionally pay the fused reconcile-chain program
+    # on a drop-retry growth (Submap.reconcile_chain); precompile it at the
+    # grown capacity for the pipeline's in-flight window size.
+    window = getattr(pipeline, "_max_in_flight", None)
+    if window is not None:
+        window = window + 1
+        key = (next_cfg.capacity, window)
+        cfn = submap._chain_cache.get(key)
+        if cfn is None:
+            cfn = jax.jit(submap.make_reapply_chain(next_cfg, window))
+            submap._chain_cache[key] = cfn
+        clouds_t = tuple(sampled for _ in range(window))
+        pose_s = jax.ShapeDtypeStruct((4, 4), jnp.float32)
+        poses_t = tuple(pose_s for _ in range(window))
+        valid = jax.ShapeDtypeStruct((window,), jnp.bool_)
+        cfn.lower(next_state_struct, clouds_t, poses_t, valid).compile()
     return next_cfg
 
 

@@ -427,19 +427,23 @@ class PipelinedLidarOdometry(LidarOdometry):
             return
         dropped_delta = int(dropped) - self._dropped_seen
         if dropped_delta > 0:
-            # Roll back to this frame's pre-insert state, re-insert it with
-            # growth, then re-apply every LATER in-flight frame's stashed
-            # sampled cloud in order (their poses come from program A and
-            # are unaffected by the map rebuild; non-keyframe sampled
-            # clouds have empty masks, so re-applying them is a no-op).
+            # Roll back to this frame's pre-insert state, then re-apply this
+            # frame AND every LATER in-flight frame's stashed sampled cloud
+            # in order as ONE fused chain program with grow-and-retry (their
+            # poses come from program A and are unaffected by the map
+            # rebuild; non-keyframe sampled clouds have empty masks, so
+            # re-applying them is a no-op).  The chain replaces a sequential
+            # host loop that paid ~4 link round trips per stashed frame.
             self.submap.map_state = pend.prev_map_state  # retry loses nothing
-            self.submap.retry_insert_after_drop(pend.sampled, T_np)
-            for later in self._pending:
-                self.submap.retry_insert_after_drop(
-                    later.sampled, np.asarray(later.T_eff), grow_first=False
-                )
-                self._reconciled_until = later.frame_index
-            self._reconciled_until = max(self._reconciled_until, pend.frame_index)
+            clouds = [pend.sampled] + [l.sampled for l in self._pending]
+            poses = [jnp.asarray(T_np)] + [l.T_eff for l in self._pending]
+            self.submap.reconcile_chain(
+                clouds, poses, window=self._max_in_flight + 1
+            )
+            self._reconciled_until = (
+                self._pending[-1].frame_index if self._pending
+                else pend.frame_index
+            )
             self._dropped_seen = int(self.submap.map_state.dropped)
             self.sync_count_last_frame += 3
         else:

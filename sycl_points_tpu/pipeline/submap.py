@@ -94,6 +94,7 @@ class Submap:
         sp_ = params.submap
         self._grow_cache: dict = {}
         self._prebuilt_ie: dict = {}
+        self._chain_cache: dict = {}
         self._rebuild_insert_extract()
         self._sample_uniform = jax.jit(
             lambda cl, key: random_sampling(cl, sp_.point_random_sampling_num, key)
@@ -335,6 +336,135 @@ class Submap:
         self.map_state = new_state
         self.extract_overflow = int(overflow)
         self.budget_lost = int(new_state.budget_lost)
+        if int(extracted.count()) >= self.params.registration.min_num_points:
+            target = PointCloud(points=extracted.points, mask=extracted.mask)
+            self.submap_cloud = self._finalize_target(target)
+            self.submap_knn = build_target_knn(
+                self.submap_cloud,
+                max_correspondence_distance=(
+                    self.params.registration.factor.max_correspondence_distance
+                ),
+            )
+        if float(load) > 0.7:
+            self._grow_map()
+
+    # -- pipelined drop-retry reconcile (fused) ------------------------------
+    def make_reapply_chain(self, cfg, window: int):
+        """Traceable: re-apply a fixed-size window of stashed keyframe
+        inserts (oldest first) to a map state, then extract once around the
+        newest pose — the pipelined drop-retry reconcile fused into ONE
+        program.  The sequential host loop paid ~4 device syncs per stashed
+        frame (at a 30+ ms link RTT that was seconds per growth event);
+        the chain pays the syncs once for the whole window.
+
+        Padding: slots past the real window carry all-False masks AND a
+        False ``valid`` flag — ``lax.cond`` skips the insert work at run
+        time, and the map ``frame`` counter (staleness clock) only advances
+        for real inserts, matching the sequential semantics.
+        """
+        sp_ = self.params.submap
+        is_occ = self.is_occupancy
+
+        def _insert_one(st, cl, pose):
+            if is_occ:
+                return og.add_point_cloud(st, cfg, cl, pose)
+            ns = vhm.add_point_cloud(st, cfg, cl, pose)
+            if cfg.remove_old_data_cycle > 0:
+                ns = jax.lax.cond(
+                    ns.frame % cfg.remove_old_data_cycle == 0,
+                    lambda s: vhm.remove_old_data(s, cfg),
+                    lambda s: s,
+                    ns,
+                )
+            return ns
+
+        def _chain(st, clouds_t, poses_t, valid):
+            # stacking happens INSIDE the program: eager jnp.stack/zeros on
+            # this runtime compile per call (design rule 10), which cost the
+            # first growth event seconds
+            clouds = jax.tree.map(lambda *xs: jnp.stack(xs), *clouds_t)
+            poses = jnp.stack(poses_t)
+
+            def body(carry, xs):
+                cl, pose, v = xs
+                ns = jax.lax.cond(
+                    v, lambda s: _insert_one(s, cl, pose), lambda s: s, carry
+                )
+                return ns, None
+
+            ns, _ = jax.lax.scan(body, st, (clouds, poses, valid),
+                                 length=window)
+            # newest REAL pose (padded slots may carry anything)
+            last = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - 1, 0)
+            origin = poses[last][:3, 3]
+            if is_occ:
+                extracted, overflow = og.extract_occupied_points(
+                    ns, cfg, origin, sp_.max_distance_range,
+                    out_capacity=sp_.extract_capacity, with_overflow=True,
+                )
+                load = og.load_factor(ns, cfg)
+            else:
+                extracted, overflow = vhm.extract(
+                    ns, cfg, origin, sp_.max_distance_range,
+                    out_capacity=sp_.extract_capacity, with_covs=False,
+                    with_overflow=True,
+                )
+                load = vhm.load_factor(ns, cfg)
+            return ns, extracted, load, overflow
+
+        return _chain
+
+    def chain_fn_for(self, cfg, window: int):
+        """Jitted reapply-chain program, cached per (capacity, window);
+        also fed by the growth-ladder precompile."""
+        key = (cfg.capacity, window)
+        fn = self._chain_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self.make_reapply_chain(cfg, window))
+            self._chain_cache[key] = fn
+        return fn
+
+    def reconcile_chain(self, clouds, poses, window: int,
+                        grow_first: bool = True) -> None:
+        """Fused slow-path reconcile after an in-flight drop: the caller has
+        rolled ``self.map_state`` back to the pre-chain state; re-apply the
+        whole stashed window (pend + later in-flight frames, oldest first)
+        with grow-and-retry until no probe-exhaustion drops remain.  Retries
+        restart from the (rehashed) pre-chain state, so nothing is lost.
+        Budget-capped losses (``budget_lost``) never trigger growth — same
+        policy as :meth:`retry_insert_after_drop`.
+        """
+        W = len(clouds)
+        if W == 0:
+            return
+        if W > window:
+            raise ValueError(f"reconcile window {W} > chain capacity {window}")
+        pad = window - W
+        # Padding is HOST numpy (device_put'd by the jit call): no eager
+        # device op ever runs on this path (design rule 10).
+        empty = jax.tree.map(
+            lambda a: np.zeros(a.shape, a.dtype), clouds[0]
+        )
+        clouds_t = tuple(list(clouds) + [empty] * pad)
+        poses_t = tuple(list(poses) + [np.eye(4, dtype=np.float32)] * pad)
+        valid = np.arange(window) < W
+
+        max_grow = 8
+        for attempt in range(max_grow + 1):
+            if grow_first or attempt > 0:
+                self._grow_map()
+            chain = self.chain_fn_for(self.map_config, window)
+            ns, extracted, load, overflow = chain(
+                self.map_state, clouds_t, poses_t, valid
+            )
+            if (
+                int(ns.dropped) == int(self.map_state.dropped)
+                or attempt == max_grow
+            ):
+                break
+        self.map_state = ns
+        self.extract_overflow = int(overflow)
+        self.budget_lost = int(ns.budget_lost)
         if int(extracted.count()) >= self.params.registration.min_num_points:
             target = PointCloud(points=extracted.points, mask=extracted.mask)
             self.submap_cloud = self._finalize_target(target)

@@ -160,3 +160,69 @@ def test_growth_precompile_swaps_in_prebuilt():
         assert r is ResultType.success
     pl.flush()
     assert int(pl.submap.map_state.dropped) == 0
+
+
+def test_reconcile_chain_matches_sequential_retry():
+    """The fused reapply-chain program (one jit per grow attempt) must land
+    the same map contents, zero loss, and the same telemetry as the
+    sequential per-frame retry loop it replaces."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from sycl_points_tpu.mapping import voxel_hash_map as vhm
+    from sycl_points_tpu.pipeline.submap import Submap
+
+    p = small_params()
+    p = dataclasses.replace(
+        p, submap=dataclasses.replace(p.submap, map_capacity=128)
+    )
+    sm_seq, sm_chain = Submap(p), Submap(p)
+
+    rng = np.random.default_rng(99)
+    clouds, poses = [], []
+    for i in range(3):
+        # ~600 distinct voxels per insert: guarantees probe-exhaustion drops
+        # at capacity 128 so the grow-retry machinery actually fires
+        pts = rng.uniform(-40, 40, size=(600, 3)).astype(np.float32)
+        clouds.append(PointCloud.from_numpy(pts, capacity=1024))
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = 0.5 * i
+        poses.append(T)
+
+    # sequential reference path (same call pattern the old reconcile used)
+    sm_seq.retry_insert_after_drop(clouds[0], poses[0])
+    for cl, T in zip(clouds[1:], poses[1:]):
+        sm_seq.retry_insert_after_drop(cl, T, grow_first=False)
+
+    # fused chain path (padded window larger than the real frame count)
+    sm_chain.reconcile_chain(
+        clouds, [jnp.asarray(T) for T in poses], window=6
+    )
+
+    # zero loss on both paths
+    assert int(sm_seq.map_state.dropped) == 0
+    assert int(sm_chain.map_state.dropped) == 0
+    assert int(sm_chain.map_state.budget_lost) == int(
+        sm_seq.map_state.budget_lost
+    )
+    assert float(jnp.sum(sm_seq.map_state.count)) == 3 * 600
+    assert float(jnp.sum(sm_chain.map_state.count)) == 3 * 600
+    assert sm_chain.map_capacity >= 512  # growth fired
+
+    # identical map contents (hash layouts may differ with capacity history)
+    def contents(sm):
+        cloud, _ = vhm.extract(
+            sm.map_state, sm.map_config, jnp.zeros(3), 1e6,
+            out_capacity=1 << 12, with_covs=False, with_overflow=True,
+        )
+        pts = np.asarray(cloud.points)[np.asarray(cloud.mask)]
+        return pts[np.lexsort(pts.T)]
+
+    c_seq, c_chain = contents(sm_seq), contents(sm_chain)
+    assert c_seq.shape == c_chain.shape
+    np.testing.assert_allclose(c_seq, c_chain, atol=1e-5)
+
+    # the chain refreshed the submap target cloud like the sequential path
+    assert sm_chain.submap_cloud is not None
+    assert int(sm_chain.submap_cloud.count()) > 0
