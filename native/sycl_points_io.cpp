@@ -316,3 +316,104 @@ void spt_loader_close(void* handle) {
 }
 
 }  // extern "C"
+
+// ---- liblzf-compatible codec (PCL binary_compressed PCD payloads) ---------
+//
+// Stream grammar (public liblzf format; the pure-Python mirror lives in
+// points/io.py): control byte < 32 -> literal run of ctrl+1 bytes;
+// otherwise a back-reference of (ctrl >> 5) + 2 bytes (7 extends the length
+// by the next byte) at distance ((ctrl & 0x1f) << 8 | next) + 1.  The pure
+// Python decode runs at ~1 MB/s, far too slow for streaming real
+// binary_compressed scans; this native codec is the hot path and the
+// Python one stays as the fallback.
+
+#include <algorithm>
+
+extern "C" {
+
+int64_t spt_lzf_decompress(const uint8_t* src, int64_t src_len,
+                           uint8_t* dst, int64_t dst_cap) {
+  int64_t i = 0, o = 0;
+  while (i < src_len && o < dst_cap) {
+    const uint32_t ctrl = src[i++];
+    if (ctrl < 32) {
+      const int64_t cnt = (int64_t)ctrl + 1;
+      if (i + cnt > src_len || o + cnt > dst_cap) return -1;
+      std::memcpy(dst + o, src + i, (size_t)cnt);
+      i += cnt;
+      o += cnt;
+    } else {
+      int64_t len = ctrl >> 5;
+      if (len == 7) {
+        if (i >= src_len) return -1;
+        len += src[i++];
+      }
+      len += 2;
+      if (i >= src_len) return -1;
+      const int64_t ref = o - ((((int64_t)ctrl & 0x1f) << 8) | src[i++]) - 1;
+      if (ref < 0 || o + len > dst_cap) return -1;
+      // overlap-capable by definition: byte-serial copy
+      for (int64_t k = 0; k < len; ++k) dst[o + k] = dst[ref + k];
+      o += len;
+    }
+  }
+  return o;
+}
+
+int64_t spt_lzf_compress(const uint8_t* src, int64_t n,
+                         uint8_t* dst, int64_t dst_cap) {
+  // Greedy 3-byte-hash compressor.  Unlike the Python mirror's exact
+  // dict it uses a 16-bit hash bucket (candidate bytes are re-verified),
+  // so the two compressors may emit different but equally valid streams.
+  constexpr int64_t kMaxDist = 1 << 13;
+  constexpr int64_t kMaxLen = 264;
+  std::vector<int64_t> table((size_t)1 << 16, -1);
+  int64_t o = 0, i = 0, lit_start = 0;
+
+  auto flush_literals = [&](int64_t end) -> bool {
+    for (int64_t s = lit_start; s < end;) {
+      const int64_t run = std::min<int64_t>(32, end - s);
+      if (o + 1 + run > dst_cap) return false;
+      dst[o++] = (uint8_t)(run - 1);
+      std::memcpy(dst + o, src + s, (size_t)run);
+      o += run;
+      s += run;
+    }
+    return true;
+  };
+
+  while (i < n) {
+    if (i + 3 <= n) {
+      const uint32_t v = (uint32_t)src[i] | ((uint32_t)src[i + 1] << 8) |
+                         ((uint32_t)src[i + 2] << 16);
+      const uint32_t h = (v * 2654435761u) >> 16;
+      const int64_t cand = table[h];
+      table[h] = i;
+      const int64_t dist = i - cand - 1;
+      if (cand >= 0 && dist < kMaxDist && src[cand] == src[i] &&
+          src[cand + 1] == src[i + 1] && src[cand + 2] == src[i + 2]) {
+        int64_t len = 3;
+        const int64_t max_len = std::min<int64_t>(n - i, kMaxLen);
+        while (len < max_len && src[cand + len] == src[i + len]) ++len;
+        if (!flush_literals(i)) return -1;
+        const int64_t l_enc = len - 2;
+        if (o + 3 > dst_cap) return -1;
+        if (l_enc < 7) {
+          dst[o++] = (uint8_t)((l_enc << 5) | (dist >> 8));
+        } else {
+          dst[o++] = (uint8_t)((7u << 5) | (dist >> 8));
+          dst[o++] = (uint8_t)(l_enc - 7);
+        }
+        dst[o++] = (uint8_t)(dist & 0xff);
+        i += len;
+        lit_start = i;
+        continue;
+      }
+    }
+    ++i;
+  }
+  if (!flush_literals(n)) return -1;
+  return o;
+}
+
+}  // extern "C"

@@ -134,12 +134,24 @@ def read_ply(path: str) -> dict:
 
 
 def _lzf_decompress(src: bytes, out_len: int) -> bytes:
-    """PCL/liblzf decompression (pure Python; file I/O is not a hot path).
+    """PCL/liblzf decompression: native C++ codec when available
+    (native/sycl_points_io.cpp spt_lzf_decompress — the pure-Python decode
+    below runs ~1 MB/s, too slow for streaming real compressed scans),
+    byte-identical pure-Python fallback otherwise.
 
     Stream grammar: control byte < 32 -> literal run of ``ctrl+1`` bytes;
     otherwise a back-reference of ``(ctrl >> 5) + 2`` bytes (7 extends the
     length by the next byte) at distance ``((ctrl & 0x1f) << 8 | next) + 1``.
     Overlapping copies are byte-serial by definition."""
+    from sycl_points_tpu.points import native_io
+
+    native = native_io.lzf_decompress(src, out_len)
+    if native is not None:
+        return native
+    return _lzf_decompress_py(src, out_len)
+
+
+def _lzf_decompress_py(src: bytes, out_len: int) -> bytes:
     out = bytearray()
     i, n = 0, len(src)
     while i < n and len(out) < out_len:
@@ -170,7 +182,18 @@ def _lzf_decompress(src: bytes, out_len: int) -> bytes:
 
 def _lzf_compress(src: bytes) -> bytes:
     """Greedy liblzf-style compressor (used by tests and opt-in writing;
-    output is always decompressable by :func:`_lzf_decompress` and PCL)."""
+    output is always decompressable by :func:`_lzf_decompress` and PCL).
+    Native C++ codec when available, pure-Python fallback otherwise —
+    the two may emit different but equally valid streams."""
+    from sycl_points_tpu.points import native_io
+
+    native = native_io.lzf_compress(src)
+    if native is not None:
+        return native
+    return _lzf_compress_py(src)
+
+
+def _lzf_compress_py(src: bytes) -> bytes:
     out = bytearray()
     table: dict = {}
     lit_start = 0

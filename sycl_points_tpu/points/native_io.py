@@ -38,15 +38,22 @@ def ensure_built(quiet: bool = True) -> bool:
     global _lib
     if _lib is not None:
         return True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.abspath(os.path.join(_NATIVE_DIR, "sycl_points_io.cpp"))
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or (os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    )
+    if stale:
         try:
             subprocess.run(
-                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                ["make", "-C", os.path.abspath(_NATIVE_DIR), "-B"],
                 check=True,
                 capture_output=quiet,
             )
         except Exception:
-            return False
+            if not os.path.exists(_LIB_PATH):
+                return False
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -63,6 +70,12 @@ def ensure_built(quiet: bool = True) -> bool:
     lib.spt_loader_next.restype = ctypes.POINTER(_SptCloud)
     lib.spt_loader_next.argtypes = [ctypes.c_void_p]
     lib.spt_loader_close.argtypes = [ctypes.c_void_p]
+    for fn in (lib.spt_lzf_decompress, lib.spt_lzf_compress):
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ]
     _lib = lib
     return True
 
@@ -148,3 +161,46 @@ class PrefetchLoader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# -- liblzf codec (PCL binary_compressed PCD payloads) -------------------------
+
+def _as_u8_ptr(buf):
+    return ctypes.cast(
+        (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf),
+        ctypes.POINTER(ctypes.c_uint8),
+    )
+
+
+def lzf_decompress(src: bytes, out_len: int) -> Optional[bytes]:
+    """Native LZF decode; None when the library is unavailable.
+    Raises ValueError on a corrupt stream (same contract as the pure-Python
+    fallback in points/io.py)."""
+    if not ensure_built():
+        return None
+    out = (ctypes.c_uint8 * out_len)()
+    got = _lib.spt_lzf_decompress(
+        _as_u8_ptr(src), len(src),
+        ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), out_len,
+    )
+    if got != out_len:
+        raise ValueError(
+            f"lzf: decompressed {got} bytes, expected {out_len}"
+        )
+    return bytes(out)
+
+
+def lzf_compress(src: bytes) -> Optional[bytes]:
+    """Native LZF encode; None when the library is unavailable."""
+    if not ensure_built():
+        return None
+    # worst case: all literals = n + ceil(n/32) control bytes
+    cap = len(src) + len(src) // 32 + 64
+    out = (ctypes.c_uint8 * cap)()
+    got = _lib.spt_lzf_compress(
+        _as_u8_ptr(src), len(src),
+        ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if got < 0:
+        raise ValueError("lzf: compression output exceeded worst-case bound")
+    return bytes(out[:got])
