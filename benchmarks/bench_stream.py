@@ -1,0 +1,195 @@
+"""End-to-end LIVE transport benchmark: synthetic Velodyne frames streamed
+through the socket server (apps/stream_odometry.py) into the pipelined
+odometry backend, poses streamed back — the serving-rate measurement of the
+whole ROS-less live node (the reference's live path is
+ros2/sycl_points_ros2/src/lidar_odometry_base_node.cpp; rosbag replay there
+is host-loop bound, here the transport + QoS + pipelined dispatch all ride
+one machine and one chip).
+
+Measures, over N frames at an offered rate (--hz, 0 = as fast as poses
+come back):
+  * sustained serving throughput (frames/s end to end through the socket),
+  * per-frame end-to-end latency (scan bytes written -> pose bytes read),
+  * QoS drops + truncations (must be 0 at the sustainable rate),
+  * trajectory ATE vs ground truth (the transport must not change results).
+
+Writes benchmarks/STREAM_r{N}.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from synthetic_velodyne import World, figure8_trajectory, scan_at
+
+from sycl_points_tpu.apps import stream_protocol as sp
+from sycl_points_tpu.apps.stream_odometry import (
+    OdometryStreamClient,
+    OdometryStreamServer,
+    StreamServerConfig,
+)
+from sycl_points_tpu.pipeline.params import (
+    DownsamplingParams,
+    LidarOdometryParams,
+    PolarDownsamplingParams,
+    PoseParams,
+    RandomDownsamplingParams,
+    ScanParams,
+    SubmapParams,
+    VoxelDownsamplingParams,
+)
+from sycl_points_tpu.points.point_cloud import pad_capacity_for
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--speed", type=float, default=0.35)
+    ap.add_argument("--hz", type=float, default=0.0,
+                    help="offered frame rate; 0 = closed loop (send next "
+                         "scan as soon as the previous pose arrives)")
+    ap.add_argument("--pipeline", default="lo_pipelined",
+                    choices=["lo", "lo_pipelined"])
+    ap.add_argument("--az", type=int, default=2048)
+    ap.add_argument("--rings", type=int, default=64)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    world = World()
+    poses = figure8_trajectory(args.frames, speed=args.speed)
+    sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
+    scans = [
+        scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
+                cache_tag=f"replay_{args.az}x{args.rings}{sp_tag}_{i}")
+        for i, T in enumerate(poses)
+    ]
+    print(f"{len(scans)} scans generated", file=sys.stderr, flush=True)
+
+    params = LidarOdometryParams(
+        scan=ScanParams(
+            downsampling=DownsamplingParams(
+                voxel=VoxelDownsamplingParams(enable=True, size=1.0),
+                polar=PolarDownsamplingParams(enable=False),
+                random=RandomDownsamplingParams(enable=True, num=5000),
+            ),
+        ),
+        submap=SubmapParams(map_type="VOXEL_HASH_MAP", voxel_size=0.5),
+        pose=PoseParams(
+            initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())
+        ),
+    )
+    raw_cap = pad_capacity_for(args.az * args.rings)
+    server = OdometryStreamServer(
+        params,
+        StreamServerConfig(
+            pipeline=args.pipeline, scan_capacity=raw_cap,
+            scan_queue_depth=4,
+        ),
+    )
+    server.start()
+    client = OdometryStreamClient("127.0.0.1", server.port, timeout=900.0)
+
+    # receiver thread: stamp pose arrivals by frame seq
+    arrivals = {}
+    decoded = {}
+    done = threading.Event()
+
+    def receive():
+        try:
+            while len(arrivals) < args.frames:
+                msg = client.recv()
+                if msg is None:
+                    break
+                if msg.msg_type == sp.MSG_POSE:
+                    d = sp.decode_pose_payload(msg.payload)
+                    arrivals[d[0]] = time.perf_counter()
+                    decoded[d[0]] = d
+        finally:
+            done.set()
+
+    rx = threading.Thread(target=receive, daemon=True)
+    rx.start()
+
+    sends = {}
+    period = 1.0 / args.hz if args.hz > 0 else 0.0
+    t_start = None
+    for i, pts in enumerate(scans):
+        if args.hz > 0 and t_start is not None:
+            target = t_start + i * period
+            now = time.perf_counter()
+            if target > now:
+                time.sleep(target - now)
+        t0 = time.perf_counter()
+        if t_start is None:
+            t_start = t0
+        seq = client.send_cloud({"points": pts}, timestamp=0.1 * i)
+        sends[seq] = t0
+        if args.hz == 0:
+            # closed loop: wait for this frame's pose (sync) or the
+            # pipelined pipeline's previous pose before offering the next
+            deadline = time.perf_counter() + 300.0
+            want = seq if args.pipeline == "lo" else max(1, seq - 2)
+            while want not in arrivals and time.perf_counter() < deadline:
+                time.sleep(0.0005)
+        if i == args.warmup:
+            t_measure0 = time.perf_counter()
+
+    done.wait(timeout=300.0)
+    server.flush()
+    # drain any late poses the pipelined backend published on flush
+    t_end_deadline = time.perf_counter() + 60.0
+    while len(arrivals) < args.frames and time.perf_counter() < t_end_deadline:
+        time.sleep(0.01)
+    t_end = max(arrivals.values()) if arrivals else time.perf_counter()
+
+    n_meas = args.frames - args.warmup
+    fps = n_meas / max(t_end - t_measure0, 1e-9)
+    lat = [
+        (arrivals[s] - sends[s]) * 1e3
+        for s in sends if s in arrivals and s > args.warmup
+    ]
+    tele = server.telemetry()
+
+    # trajectory check: server poses must match ground truth like the
+    # offline replay does (transport must not change results)
+    est = []
+    for s in sorted(decoded):
+        t3 = decoded[s][3]
+        est.append(t3)
+    gt = np.stack([p[:3, 3] for p in poses[1:len(est) + 1]])
+    est_a = np.stack(est)[: len(gt)]
+    ate = float(np.sqrt(np.mean(np.sum((est_a - gt) ** 2, axis=1))))
+
+    out = {
+        "config": "stream-serving",
+        "pipeline": args.pipeline,
+        "frames": args.frames,
+        "offered_hz": args.hz,
+        "raw_points_per_scan": int(raw_cap),
+        "served_frames_per_sec": round(fps, 2),
+        "ms_per_frame_e2e_median": round(float(np.median(lat)), 2) if lat else None,
+        "ms_per_frame_e2e_p90": round(float(np.percentile(lat, 90)), 2) if lat else None,
+        "poses_received": len(arrivals),
+        "scan_queue_dropped": tele["scan_queue_dropped"],
+        "frames_truncated_points": tele["frames_truncated_points"],
+        "ate_translation_m": round(ate, 3),
+    }
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    client.close()
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()
