@@ -103,9 +103,12 @@ def main():
     decoded = {}
     done = threading.Event()
 
+    # the pipelined backend logs no pose for the bootstrap scan
+    expected = args.frames if args.pipeline == "lo" else args.frames - 1
+
     def receive():
         try:
-            while len(arrivals) < args.frames:
+            while len(arrivals) < expected:
                 msg = client.recv()
                 if msg is None:
                     break
@@ -113,6 +116,9 @@ def main():
                     d = sp.decode_pose_payload(msg.payload)
                     arrivals[d[0]] = time.perf_counter()
                     decoded[d[0]] = d
+                    if len(arrivals) % 10 == 0:
+                        print(f"poses: {len(arrivals)}/{expected}",
+                              file=sys.stderr, flush=True)
         finally:
             done.set()
 
@@ -135,19 +141,28 @@ def main():
         sends[seq] = t0
         if args.hz == 0:
             # closed loop: wait for this frame's pose (sync) or the
-            # pipelined pipeline's previous pose before offering the next
+            # pipelined pipeline's pose from two frames back (its pipeline
+            # depth) before offering the next scan; the bootstrap scan
+            # (seq 1) has no pose in the pipelined backend
             deadline = time.perf_counter() + 300.0
-            want = seq if args.pipeline == "lo" else max(1, seq - 2)
-            while want not in arrivals and time.perf_counter() < deadline:
+            want = seq if args.pipeline == "lo" else seq - 2
+            while (want >= (1 if args.pipeline == "lo" else 2)
+                   and want not in arrivals
+                   and time.perf_counter() < deadline):
                 time.sleep(0.0005)
         if i == args.warmup:
             t_measure0 = time.perf_counter()
 
+    # flush via the server's own processing thread (the pipeline is owned by
+    # it; calling server.flush() from here would race)
+    server._flushed.clear()
+    server._flush_requested.set()
+    server._wake.set()
+    server._flushed.wait(timeout=300.0)
     done.wait(timeout=300.0)
-    server.flush()
     # drain any late poses the pipelined backend published on flush
     t_end_deadline = time.perf_counter() + 60.0
-    while len(arrivals) < args.frames and time.perf_counter() < t_end_deadline:
+    while len(arrivals) < expected and time.perf_counter() < t_end_deadline:
         time.sleep(0.01)
     t_end = max(arrivals.values()) if arrivals else time.perf_counter()
 
@@ -160,14 +175,13 @@ def main():
     tele = server.telemetry()
 
     # trajectory check: server poses must match ground truth like the
-    # offline replay does (transport must not change results)
-    est = []
-    for s in sorted(decoded):
-        t3 = decoded[s][3]
-        est.append(t3)
-    gt = np.stack([p[:3, 3] for p in poses[1:len(est) + 1]])
-    est_a = np.stack(est)[: len(gt)]
-    ate = float(np.sqrt(np.mean(np.sum((est_a - gt) ** 2, axis=1))))
+    # offline replay does (transport must not change results).  POSE seq k
+    # is the pose estimate for the k-th sent scan -> ground truth poses[k-1].
+    errs = []
+    for s_ in sorted(decoded):
+        if 1 <= s_ <= len(poses):
+            errs.append(decoded[s_][3] - poses[s_ - 1][:3, 3])
+    ate = float(np.sqrt(np.mean(np.sum(np.square(errs), axis=1))))
 
     out = {
         "config": "stream-serving",

@@ -203,6 +203,11 @@ class OdometryStreamServer:
         self._result_by_seq: Dict[int, int] = {}
         self._flush_requested = threading.Event()
         self._flushed = threading.Event()
+        # pipelined pipelines log poses by internal frame index; map those
+        # back to the client's scan seq so POSE.frame_seq always answers
+        # "which scan is this the pose of"
+        self._seq_by_frame: Dict[int, int] = {}
+        self._last_frame_count = 0
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -351,6 +356,11 @@ class OdometryStreamServer:
         )
         self.frames_processed += 1
         self._result_by_seq[msg.seq] = result_code(rtype)
+        if self.is_pipelined:
+            fc = self.pipeline.frame_count
+            if fc > self._last_frame_count:  # a frame was dispatched
+                self._seq_by_frame[fc - 1] = msg.seq
+                self._last_frame_count = fc
 
         if self.is_pipelined:
             self._drain_pipelined()
@@ -371,7 +381,8 @@ class OdometryStreamServer:
         while self._published_poses < len(log):
             frame_index, ts, T_np, rtype = log[self._published_poses]
             self._published_poses += 1
-            self._emit_pose(frame_index, ts, T_np, result_code(rtype), 0.0)
+            seq = self._seq_by_frame.pop(frame_index, frame_index)
+            self._emit_pose(seq, ts, T_np, result_code(rtype), 0.0)
 
     def _emit_pose(self, seq: int, ts: float, T_lidar: np.ndarray,
                    result_code: int, inlier: float) -> None:

@@ -218,6 +218,17 @@ def test_stream_lo_pipelined_flush_delivers_all_poses():
             f"got {len(pose_msgs)}"
         )
         decoded = [sp.decode_pose_payload(m.payload) for m in pose_msgs]
+        # POSE seq must be the CLIENT's scan seq (the pipelined backend logs
+        # by internal frame index; the server maps it back): scan 1 boots,
+        # scans 2..n get poses, in order
+        assert [d[0] for d in decoded] == list(range(2, n_frames + 1))
+        # and each pose must belong to ITS scan: scan k was taken at
+        # x = 0.2*(k-1), so the estimate for seq k tracks that
+        for d in decoded:
+            expect_x = 0.2 * (d[0] - 1)
+            assert abs(d[3][0] - expect_x) < 0.1, (
+                f"pose seq {d[0]} x={d[3][0]:.3f}, expected ~{expect_x:.2f}"
+            )
         xs = [d[3][0] for d in decoded]
         assert xs[-1] > 0.4
         status = [m for m in tail if m.msg_type == sp.MSG_STATUS]
@@ -250,6 +261,71 @@ def test_stream_truncation_is_counted_not_silent():
         assert st["truncated_points"] == len(pts) - cap
         assert server.frames_truncated_points == 1
         client.finish()
+    finally:
+        server.stop()
+
+
+@pytest.mark.slow
+def test_stream_lio_pipelined_end_to_end():
+    """Full 15-DOF LIO over the socket: IMU + scan messages in, poses out.
+
+    The transport analog of the reference's lidar_inertial_odometry_node
+    (ros2/sycl_points_ros2/src/lidar_inertial_odometry_node.cpp): IMU
+    messages interleave with scans on one connection, the pipelined LIO
+    backend dispatches frames, and every published pose must carry the
+    CLIENT's scan seq and track that scan's ground-truth position."""
+    from tests.test_lidar_inertial_odometry import (
+        G, lio_params, make_world, scan_at,
+    )
+
+    world = make_world()
+    v = np.array([2.0, 0.0, 0.0], np.float32)
+    frame_dt, n_frames = 0.1, 5
+
+    server = OdometryStreamServer(
+        lio_params(),
+        StreamServerConfig(pipeline="lio_pipelined", scan_capacity=1 << 11,
+                           scan_queue_depth=16),
+    )
+    server.start()
+    try:
+        client = OdometryStreamClient("127.0.0.1", server.port, timeout=900.0)
+        # IMU backlog before the first scan (initial alignment), then a
+        # 200 Hz stream interleaved ahead of each scan — wire order on one
+        # socket preserves feed order into the pipeline
+        imu_t = -0.2
+        scan_seqs = []  # message seq of each sent scan (IMU shares the
+        scan_x = {}     # wire counter, so scan seqs are NOT 1..n)
+        for i in range(n_frames):
+            t_scan = i * frame_dt
+            while imu_t <= t_scan + 1e-9:
+                client.send_imu(10.0 + imu_t, gyro=[0.0, 0.0, 0.0],
+                                accel=[0.0, 0.0, G])
+                imu_t += 1.0 / 200
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = v * t_scan
+            seq = client.send_cloud({"points": scan_at(world, T)},
+                                    timestamp=10.0 + t_scan)
+            scan_seqs.append(seq)
+            scan_x[seq] = float(T[0, 3])
+            time.sleep(0.05)
+        tail = client.finish()
+        pose_msgs = [m for m in getattr(client, "side_messages", []) + tail
+                     if m.msg_type == sp.MSG_POSE]
+        decoded = [sp.decode_pose_payload(m.payload) for m in pose_msgs]
+        # scan 1 bootstraps; every later scan's pose arrives (flush drains
+        # the in-flight window) tagged with ITS scan's message seq
+        assert [d[0] for d in decoded] == scan_seqs[1:]
+        for d in decoded:
+            expect_x = scan_x[d[0]]
+            assert abs(d[3][0] - expect_x) < 0.12, (
+                f"pose seq {d[0]} x={d[3][0]:.3f}, expected ~{expect_x:.2f}"
+            )
+            assert np.all(np.isfinite(d[3])) and np.all(np.isfinite(d[4]))
+        tele = server.telemetry()
+        assert tele["scan_queue_dropped"] == 0
+        assert tele["imu_queue_dropped"] == 0
+        assert server.frames_processed == n_frames
     finally:
         server.stop()
 
