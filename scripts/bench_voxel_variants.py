@@ -120,13 +120,74 @@ def main():
     def b_scatter(i, acc):
         pts = src.points + 1e-12 * acc
         key = packed_key(pts, src.mask, 0.25)
-        slot = (key * jnp.int32(2654435761)) & (CAP - 1)
+        # 2654435761 (Knuth) as signed int32; wraparound multiply is fine for
+        # a throwaway slot hash
+        slot = (key * jnp.int32(-1640531535)) & (CAP - 1)
         w = (key != jnp.int32(2**31 - 1)).astype(jnp.float32)
         data = jnp.stack([pts[:, 0] * w, pts[:, 1] * w, pts[:, 2] * w, w], axis=1)
         moments = jax.ops.segment_sum(data, slot, num_segments=CAP)
         return acc + moments[0, 0] * 1e-9
 
     results["scatter_add_unsorted_ms"] = marginal_ms(b_scatter)
+
+    # cumulative decomposition of the production op: where does the
+    # 0.876 ms actually go?  (sort measured 0.068 -> aggregation dominates)
+    def stage(i, acc, upto):
+        pts = src.points + 1e-12 * acc
+        key = packed_key(pts, src.mask, 0.25)
+        if upto == "key":
+            return acc + key[0].astype(jnp.float32) * 1e-9
+        key_s, x, y, z = jax.lax.sort(
+            (key, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1
+        )
+        if upto == "sort":
+            return acc + x[0] * 1e-9
+        ok_s = key_s != jnp.int32(2**31 - 1)
+        new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
+        seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+        if upto == "segid":
+            return acc + seg_id[0].astype(jnp.float32) * 1e-9 + x[0] * 1e-9
+        w = ok_s.astype(jnp.float32)
+        moments = jax.ops.segment_sum(
+            jnp.stack([x * w, y * w, z * w, w], axis=1),
+            seg_id,
+            num_segments=out_cap,
+            indices_are_sorted=True,
+        )
+        if upto == "moments":
+            return acc + moments[0, 0] * 1e-9
+        counts = moments[:, -1]
+        means = moments[:, :-1] / jnp.maximum(counts, 1.0)[:, None]
+        return acc + means[0, 0] * 1e-9
+
+    for upto in ("key", "sort", "segid", "moments", "mean"):
+        ms = marginal_ms(lambda i, acc, u=upto: stage(i, acc, u))
+        results[f"cum_{upto}_ms"] = ms
+
+    # candidate: cumsum + searchsorted boundary-difference instead of
+    # segment_sum (scatter) — with voxel-local coordinates to bound the
+    # cancellation error of prefix differences
+    def b_cumsum_agg(i, acc):
+        pts = src.points + 1e-12 * acc
+        key = packed_key(pts, src.mask, 0.25)
+        key_s, x, y, z = jax.lax.sort(
+            (key, pts[:, 0], pts[:, 1], pts[:, 2]), num_keys=1
+        )
+        ok_s = key_s != jnp.int32(2**31 - 1)
+        new_seg = (key_s != jnp.roll(key_s, 1)).at[0].set(True)
+        seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+        w = ok_s.astype(jnp.float32)
+        data = jnp.stack([x * w, y * w, z * w, w], axis=1)
+        cs = jnp.cumsum(data, axis=0)
+        cs = jnp.concatenate([jnp.zeros((1, 4), jnp.float32), cs], axis=0)
+        ids = jnp.arange(out_cap, dtype=jnp.int32)
+        starts = jnp.searchsorted(seg_id, ids, side="left")
+        ends = jnp.searchsorted(seg_id, ids, side="right")
+        sums = cs[ends] - cs[starts]
+        means = sums[:, :3] / jnp.maximum(sums[:, 3:], 1.0)
+        return acc + means[0, 0] * 1e-9
+
+    results["cumsum_boundary_agg_ms"] = marginal_ms(b_cumsum_agg)
 
     for k, v in results.items():
         print(f"{k}: {v:.3f}")

@@ -291,6 +291,12 @@ class BruteForceKNN:
     points: jax.Array  # [M, 3]
     mask: jax.Array  # [M]
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Kernel-ready target operands (pallas_knn.prep_target): present after
+    # ``prepped()``.  The ICP loop searches the same target every iteration;
+    # carrying the prepared form hoists the per-search transpose/pad/convert
+    # out of the ``lax.while_loop`` (XLA does not LICM through pallas_call).
+    t4: Optional[jax.Array] = None  # [4, Mp]
+    mask_row: Optional[jax.Array] = None  # [1, Mp] int32
 
     @staticmethod
     def build(cloud: PointCloud, use_pallas: Optional[bool] = None) -> "BruteForceKNN":
@@ -301,6 +307,18 @@ class BruteForceKNN:
             use_pallas = jax.default_backend() in ("tpu", "axon")
         return BruteForceKNN(points=cloud.points, mask=cloud.mask, use_pallas=use_pallas)
 
+    def prepped(self) -> "BruteForceKNN":
+        """With kernel-ready target operands filled in (no-op off-Pallas).
+
+        Call where the prep cost is paid once per align rather than per
+        search — i.e. inside a jitted program, BEFORE the ICP while loop."""
+        if not self.use_pallas or self.t4 is not None:
+            return self
+        from sycl_points_tpu.ops.pallas_knn import prep_target
+
+        t4, mask_row = prep_target(self.points, self.mask)
+        return dataclasses.replace(self, t4=t4, mask_row=mask_row)
+
     def search(
         self,
         query_points: jax.Array,
@@ -309,11 +327,14 @@ class BruteForceKNN:
         chunk: int = 8192,
     ) -> KNNResult:
         if k == 1 and self.use_pallas:
-            from sycl_points_tpu.ops.pallas_knn import nn1_pallas
+            from sycl_points_tpu.ops.pallas_knn import nn1_pallas, nn1_pallas_prepped
             from sycl_points_tpu.ops.transform import transform_points
 
             q = query_points if pose is None else transform_points(query_points, pose)
-            i, d = nn1_pallas(self.points, self.mask, q)
+            if self.t4 is not None:
+                i, d = nn1_pallas_prepped(self.t4, self.mask_row, q)
+            else:
+                i, d = nn1_pallas(self.points, self.mask, q)
             return KNNResult(i[:, None], d[:, None])
         return brute_force_knn(self.points, self.mask, query_points, k, pose, chunk)
 

@@ -434,6 +434,11 @@ def align(
     from sycl_points_tpu.registration import degenerate as _degen
     from sycl_points_tpu.registration import rotation_constraint as _rotc
 
+    # Prepare the target operands ONCE, outside the while loop (the search
+    # runs every iteration on the same target; see BruteForceKNN.prepped).
+    if hasattr(target_knn, "prepped"):
+        target_knn = target_knn.prepped()
+
     # Coarse-to-fine correspondence: a strided target subset for the first
     # coarse_to_fine_iters total iterations (see RegistrationParams).
     cf_iters = params.coarse_to_fine_iters
@@ -445,6 +450,8 @@ def align(
             mask=target_knn.mask[::stride],
             use_pallas=target_knn.use_pallas,
         )
+        if hasattr(knn_coarse, "prepped"):
+            knn_coarse = knn_coarse.prepped()
 
     def iteration_core(T, r_scale, rot_scale_, total_it):
         if use_cf:
