@@ -172,9 +172,15 @@ def main():
             print(f"frame {i}: {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
     fleet.flush()
 
-    # per-stream ATE
+    # per-stream ATE + per-result-type accounting (every non-success frame
+    # is itemized: an artifact that can't explain frames_expected-frames_ok
+    # is not telemetry)
+    from collections import Counter
+
     ates = []
     ok = 0
+    result_histogram = Counter()
+    not_ok_frames = []
     for s in range(B):
         est = np.stack(
             [trajs[s][0][:3, 3]]
@@ -183,9 +189,15 @@ def main():
         gt = np.stack([T[:3, 3] for T in trajs[s]])[: len(est)]
         err = np.sqrt(np.sum((est - gt) ** 2, axis=1))
         ates.append(float(np.sqrt(np.mean(err ** 2))))
-        ok += sum(
-            1 for _, rt in fleet.deferred_results[s] if rt.name == "success"
-        )  # .name: the LO and LIO pipelines use distinct ResultType enums
+        for fi, rt in fleet.deferred_results[s]:
+            # .name: the LO and LIO pipelines use distinct ResultType enums
+            result_histogram[rt.name] += 1
+            if rt.name == "success":
+                ok += 1
+            else:
+                not_ok_frames.append(
+                    {"stream": s, "frame": fi, "result": rt.name}
+                )
 
     ms_frame = float(np.mean(frame_times)) * 1e3
     out = {
@@ -198,6 +210,11 @@ def main():
         "stream_frames_per_sec": round(1e3 / ms_frame * B, 1),
         "frames_ok": ok,
         "frames_expected": B * (args.frames - 1),
+        "result_histogram": dict(sorted(result_histogram.items())),
+        "not_ok_frames": not_ok_frames[:100],
+        # >0 would mean frames that produced NO deferred result at all
+        "frames_unaccounted": B * (args.frames - 1)
+        - sum(result_histogram.values()),
         "ate_translation_m_mean": round(float(np.mean(ates)), 3),
         "ate_translation_m_max": round(float(np.max(ates)), 3),
         "map_capacity_final": fleet.map_capacity,

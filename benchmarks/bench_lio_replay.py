@@ -27,7 +27,13 @@ import numpy as np
 
 import jax
 
-from synthetic_velodyne import World, figure8_imu, figure8_trajectory, scan_at
+from synthetic_velodyne import (
+    World,
+    figure8_imu,
+    figure8_trajectory,
+    scan_at,
+    scan_at_distorted,
+)
 
 from sycl_points_tpu.imu.preintegration import IMUMeasurement, IMUPreintegrationParams
 from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
@@ -37,6 +43,7 @@ from sycl_points_tpu.pipeline.lidar_inertial_odometry import (
 )
 from sycl_points_tpu.pipeline.params import (
     DownsamplingParams,
+    IMUDeskewParams,
     IMUParams,
     LidarInertialOdometryParams,
     PolarDownsamplingParams,
@@ -58,7 +65,31 @@ def main():
     ap.add_argument("--az", type=int, default=2048)
     ap.add_argument("--pipelined", action="store_true",
                     help="PipelinedLidarInertialOdometry (deferred stats fetch)")
+    ap.add_argument("--gyro-bias", default="0,0,0", metavar="X,Y,Z",
+                    help="TRUE constant gyro bias [rad/s] injected into the "
+                         "synthetic IMU; the 15-DOF filter must converge to "
+                         "it (reference bias machinery: "
+                         "lidar_inertial_odometry_params.hpp:35-52)")
+    ap.add_argument("--accel-bias", default="0,0,0", metavar="X,Y,Z",
+                    help="TRUE constant accel bias [m/s^2] injected into the "
+                         "synthetic IMU")
+    ap.add_argument("--distort", action="store_true",
+                    help="motion-distorted scans (per-azimuth-column sweep "
+                         "poses + per-point timestamps); enables IMU deskew "
+                         "unless --deskew off (imu_deskew.hpp:123)")
+    ap.add_argument("--deskew", choices=["on", "off"], default="on",
+                    help="with --distort: toggle IMU deskew to quantify the "
+                         "uncorrected damage")
     args = ap.parse_args()
+    gyro_bias_true = np.asarray(
+        [float(v) for v in args.gyro_bias.split(",")], np.float64
+    )
+    accel_bias_true = np.asarray(
+        [float(v) for v in args.accel_bias.split(",")], np.float64
+    )
+    if args.distort and args.pipelined and args.deskew == "on":
+        ap.error("--distort with IMU deskew requires the sync pipeline "
+                 "(PipelinedLidarInertialOdometry rejects imu.deskew.enable)")
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 
@@ -81,6 +112,8 @@ def main():
         imu=IMUParams(enable=True, preintegration=IMUPreintegrationParams(
             gyro_noise_density=1e-3, accel_noise_density=1e-2,
             gyro_bias_rw_density=1e-5, accel_bias_rw_density=1e-4,
+        ), deskew=IMUDeskewParams(
+            enable=bool(args.distort and args.deskew == "on"),
         )),
     )
     if args.pipelined:
@@ -102,10 +135,22 @@ def main():
     odo.imu_v_world_at_reset = v0
     raw_cap = pad_capacity_for(args.az * args.rings)
 
-    scans_np = []
+    scans_np, stamps_np = [], []
     for i, T in enumerate(poses):
-        pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
-                      cache_tag=f"replay_{args.az}x{args.rings}_{i}")
+        if args.distort:
+            if i + 1 < len(poses):
+                T_end = poses[i + 1]
+            else:
+                T_end = poses[i] @ (np.linalg.inv(poses[i - 1]) @ poses[i])
+            pts, t_ms = scan_at_distorted(
+                world, T, T_end, n_az=args.az, n_rings=args.rings, seed=i,
+                cache_tag=f"replay_dist_{args.az}x{args.rings}_{i}",
+            )
+            stamps_np.append(t_ms)
+        else:
+            pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
+                          cache_tag=f"replay_{args.az}x{args.rings}_{i}")
+            stamps_np.append(None)
         scans_np.append(pts)
     print(f"{len(scans_np)} scans generated", file=sys.stderr, flush=True)
 
@@ -126,10 +171,17 @@ def main():
         for k in range(n + 1):
             t = t_from + (t_to - t_from) * k / n
             g, a = figure8_imu(t)
+            # the sensor reads TRUE motion + bias; the filter must estimate
+            # and subtract the injected bias
             odo.add_imu_measurement(IMUMeasurement(
-                timestamp=t, gyro=g.astype(np.float32), accel=a.astype(np.float32),
+                timestamp=t,
+                gyro=(g + gyro_bias_true).astype(np.float32),
+                accel=(a + accel_bias_true).astype(np.float32),
             ))
 
+    # IMU deskew integrates the buffer over the scan SWEEP window
+    # [ts, ts + frame_dt], so measurements must be fed one frame ahead
+    deskew_on = bool(args.distort and args.deskew == "on")
     frame_times = []
     stage_sums = {}
     est_poses = []
@@ -137,10 +189,17 @@ def main():
     reset_count = 0
     n_ok = 0
     prev_reset = -1.0
+    fed_to = None
     for i, pts_np in enumerate(scans_np):
-        cloud = PointCloud.from_numpy(pts_np, capacity=raw_cap)  # untimed h2d
+        cloud = PointCloud.from_numpy(
+            pts_np, timestamp_offsets=stamps_np[i], capacity=raw_cap
+        )  # untimed h2d
         ts = frame_dt * i
-        feed_imu(max(ts - frame_dt, 0.0) if i else -frame_dt * 0.5, ts)
+        horizon = ts + (frame_dt if deskew_on else 0.0)
+        start = -frame_dt * 0.5 if fed_to is None else fed_to
+        if horizon > start:
+            feed_imu(start, horizon)
+            fed_to = horizon
         t0 = time.perf_counter()
         r = odo.process(cloud, timestamp=ts)
         dt = time.perf_counter() - t0
@@ -155,11 +214,15 @@ def main():
             frame_times.append(dt)
             for k, v in odo.processing_times.items():
                 stage_sums[k] = stage_sums.get(k, 0.0) + v
-        if i % 10 == 0 or i < 2:
+        if i % 10 == 0 or i < 2 or i == len(scans_np) - 1:
             bias_traj.append({
                 "frame": i,
                 "gyro_bias": odo.gyro_bias_np.round(5).tolist(),
                 "accel_bias": odo.accel_bias_np.round(5).tolist(),
+                "gyro_bias_err": float(np.linalg.norm(
+                    odo.gyro_bias_np - gyro_bias_true)),
+                "accel_bias_err": float(np.linalg.norm(
+                    odo.accel_bias_np - accel_bias_true)),
             })
             print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
 
@@ -177,10 +240,21 @@ def main():
     est = np.stack([p[:3, 3] for p in est_poses])
     ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
 
+    config = "lio-replay"
+    if float(np.linalg.norm(gyro_bias_true)) or float(np.linalg.norm(accel_bias_true)):
+        config += "-bias"
+    if args.distort:
+        config += "-distorted" + ("" if args.deskew == "on" else "-deskew-off")
     out = {
-        "config": "lio-replay",
+        "config": config,
         "frames": args.frames,
         "pipelined": args.pipelined,
+        "gyro_bias_true": gyro_bias_true.tolist(),
+        "accel_bias_true": accel_bias_true.tolist(),
+        "gyro_bias_final_err": float(np.linalg.norm(
+            odo.gyro_bias_np - gyro_bias_true)),
+        "accel_bias_final_err": float(np.linalg.norm(
+            odo.accel_bias_np - accel_bias_true)),
         "frames_ok": n_ok,
         "imu_hz": args.imu_hz,
         "map_type": params.submap.map_type,

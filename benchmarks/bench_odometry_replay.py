@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from synthetic_velodyne import World, figure8_trajectory, scan_at
+from synthetic_velodyne import World, figure8_trajectory, scan_at, scan_at_distorted
 
 from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 from sycl_points_tpu.pipeline.lidar_odometry import LidarOdometry, ResultType
@@ -45,51 +45,80 @@ from sycl_points_tpu.pipeline.params import (
     SubmapParams,
     VoxelDownsamplingParams,
 )
+from sycl_points_tpu.registration.pipeline import VelocityUpdateParams
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=60)
-    ap.add_argument("--warmup", type=int, default=8, help="frames excluded from stats")
-    ap.add_argument("--json", default=None)
-    ap.add_argument("--rings", type=int, default=64)
-    ap.add_argument("--az", type=int, default=2048)
-    ap.add_argument("--map-capacity", type=int, default=1 << 17)
-    ap.add_argument("--map-voxel", type=float, default=1.0)
-    ap.add_argument("--speed", type=float, default=0.35)
-    ap.add_argument("--hard", action="store_true",
-                    help="clutter world: 8x boxes + 250 poles + 300 scatterers")
-    ap.add_argument("--map-type", default="VOXEL_HASH_MAP",
-                    choices=["VOXEL_HASH_MAP", "OCCUPANCY_GRID_MAP"])
-    ap.add_argument("--kf-points", type=int, default=512,
-                    help="points sampled into the map per keyframe")
-    ap.add_argument("--pipelined", action="store_true",
-                    help="PipelinedLidarOdometry: device-resident state + "
-                         "one-frame-deferred async stats fetch")
-    ap.add_argument("--precompile-growth", type=int, default=0, metavar="CAP",
-                    help="after the first fused frame, synchronously compile "
-                         "every map-growth step up to CAP (the deployment "
-                         "warm-start for growth-heavy streams); the cost is "
-                         "reported as growth_precompile_s, outside frame stats")
-    args = ap.parse_args()
+def make_params(args, poses, map_capacity):
+    import dataclasses
 
-    print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+    from sycl_points_tpu.pipeline.params import (
+        RegistrationBlockParams,
+    )
+    from sycl_points_tpu.registration.pipeline import RandomSamplingParams
+    from sycl_points_tpu.registration.registration import RegistrationParams
 
-    world = World(hard=args.hard)
-    poses = figure8_trajectory(args.frames, speed=args.speed)
-    params = LidarOdometryParams(
+    factor = RegistrationParams(
+        coarse_to_fine_iters=args.coarse_to_fine,
+    )
+    reg_sampling = (
+        RandomSamplingParams(enable=False)
+        if args.reg_sampling == 0
+        else RandomSamplingParams(enable=True, num=args.reg_sampling)
+    )
+    return LidarOdometryParams(
         scan=ScanParams(
             downsampling=DownsamplingParams(
                 voxel=VoxelDownsamplingParams(enable=True, size=1.0),
                 polar=PolarDownsamplingParams(enable=False),
-                random=RandomDownsamplingParams(enable=True, num=5000),
+                random=RandomDownsamplingParams(enable=True, num=args.scan_points),
             ),
         ),
         submap=SubmapParams(map_type=args.map_type, voxel_size=args.map_voxel,
-                            map_capacity=args.map_capacity,
+                            map_capacity=map_capacity,
                             point_random_sampling_num=args.kf_points),
+        registration=RegistrationBlockParams(factor=factor),
+        registration_sampling=reg_sampling,
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
+        lo_velocity_update=VelocityUpdateParams(
+            enable=bool(args.distort and args.deskew == "on")
+        ),
     )
+
+
+def generate_scans(args, world, poses):
+    """Raycast (and disk-cache) all scans before any timed replay; returns
+    (scans, timestamp arrays-or-Nones)."""
+    scans_np, stamps_np = [], []
+    sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
+    if args.hard:
+        sp_tag += "_hard"
+    for i, T in enumerate(poses):
+        if args.distort:
+            # true inter-frame sweep; final frame extrapolates its twist
+            if i + 1 < len(poses):
+                T_end = poses[i + 1]
+            else:
+                T_end = poses[i] @ (np.linalg.inv(poses[i - 1]) @ poses[i])
+            pts, t_ms = scan_at_distorted(
+                world, T, T_end, n_az=args.az, n_rings=args.rings, seed=i,
+                cache_tag=f"replay_dist_{args.az}x{args.rings}{sp_tag}_{i}",
+            )
+            stamps_np.append(t_ms)
+        else:
+            pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
+                          cache_tag=f"replay_{args.az}x{args.rings}{sp_tag}_{i}")
+            stamps_np.append(None)
+        scans_np.append(pts)
+    print(f"{len(scans_np)} scans generated ({len(pts)} pts last)",
+          file=sys.stderr, flush=True)
+    return scans_np, stamps_np
+
+
+def run_replay(args, poses, scans_np, stamps_np, map_capacity,
+               precompile_growth=0):
+    """One full replay at a given initial map capacity; returns the artifact
+    dict (the oracle control run reuses this with ample capacity)."""
+    params = make_params(args, poses, map_capacity)
     if args.pipelined:
         from sycl_points_tpu.pipeline.pipelined_odometry import PipelinedLidarOdometry
 
@@ -97,19 +126,6 @@ def main():
     else:
         odo = LidarOdometry(params)
     raw_cap = pad_capacity_for(args.az * args.rings)
-
-    # generate (and disk-cache) all scans before the timed replay; host->
-    # device upload happens lazily per frame — bulk-uploading hundreds of
-    # scans up front backlogs the dev tunnel and can wedge the session
-    scans_np = []
-    sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
-    if args.hard:
-        sp_tag += "_hard"
-    for i, T in enumerate(poses):
-        pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
-                      cache_tag=f"replay_{args.az}x{args.rings}{sp_tag}_{i}")
-        scans_np.append(pts)
-    print(f"{len(scans_np)} scans generated ({len(pts)} pts last)", file=sys.stderr, flush=True)
 
     # link floor, identically measured (see bench.py)
     trivial = jax.jit(lambda x: (x * 2.0).sum())
@@ -129,16 +145,22 @@ def main():
     growth_events = []
     failed_frames = []
     cap_seen = odo.submap.map_capacity
+    ext_seen = odo.submap.extract_capacity
     n_ok = 0
     precompile_s = None
     for i, pts_np in enumerate(scans_np):
-        cloud = PointCloud.from_numpy(pts_np, capacity=raw_cap)  # untimed h2d
+        cloud = PointCloud.from_numpy(
+            pts_np, timestamp_offsets=stamps_np[i], capacity=raw_cap
+        )  # untimed h2d
         t0 = time.perf_counter()
         r = odo.process(cloud, timestamp=0.1 * i)
         dt = time.perf_counter() - t0
-        if odo.submap.map_capacity != cap_seen:
+        if (odo.submap.map_capacity != cap_seen
+                or odo.submap.extract_capacity != ext_seen):
             cap_seen = odo.submap.map_capacity
+            ext_seen = odo.submap.extract_capacity
             growth_events.append({"frame": i, "capacity": cap_seen,
+                                  "extract_capacity": ext_seen,
                                   "frame_ms": round(dt * 1e3, 1)})
         if not args.pipelined:
             est_poses.append(np.asarray(odo.odom).copy())
@@ -155,9 +177,9 @@ def main():
                 stage_sums[k] = stage_sums.get(k, 0.0) + v
         if i in (0, 1, args.warmup):
             print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
-        if i == 1 and args.precompile_growth:
+        if i == 1 and precompile_growth:
             t0 = time.perf_counter()
-            steps = odo.precompile_growth(args.precompile_growth, wait=True)
+            steps = odo.precompile_growth(precompile_growth, wait=True)
             precompile_s = round(time.perf_counter() - t0, 1)
             print(f"growth ladder: {steps} steps precompiled in {precompile_s} s",
                   file=sys.stderr, flush=True)
@@ -185,13 +207,20 @@ def main():
     per_frame_err = np.sqrt(np.sum((est - gt) ** 2, axis=1))
     ate = float(np.sqrt(np.mean(per_frame_err**2)))
 
-    out = {
-        "config": "odometry-replay-hard" if args.hard else "odometry-replay",
+    config = "odometry-replay-hard" if args.hard else "odometry-replay"
+    if args.distort:
+        config += "-distorted" + ("" if args.deskew == "on" else "-deskew-off")
+    return {
+        "config": config,
         "frames": args.frames,
         "run_params": {"speed": args.speed, "map_voxel": args.map_voxel,
-                       "map_capacity_initial": args.map_capacity,
+                       "map_capacity_initial": map_capacity,
                        "kf_points": args.kf_points,
                        "pipelined": args.pipelined,
+                       "distort": args.distort, "deskew": args.deskew,
+                       "scan_points": args.scan_points,
+                       "reg_sampling": args.reg_sampling,
+                       "coarse_to_fine": args.coarse_to_fine,
                        "growth_precompile_s": precompile_s},
         "frames_ok": n_ok,
         "map_type": params.submap.map_type,
@@ -205,6 +234,7 @@ def main():
         "device_syncs_max": int(np.max(sync_counts)),
         "ate_translation_m": round(ate, 3),
         "map_capacity_final": odo.submap.map_capacity,
+        "extract_capacity_final": odo.submap.extract_capacity,
         "map_voxels_final": int(np.asarray(odo.submap.map_state.used).sum()),
         "map_dropped": int(odo.submap.map_state.dropped),
         "map_budget_lost": int(odo.submap.map_state.budget_lost),
@@ -214,6 +244,79 @@ def main():
         # drift profile: translation error vs ground truth every 10th frame
         "err_m_every_10_frames": [round(float(e), 3) for e in per_frame_err[::10]],
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--warmup", type=int, default=8, help="frames excluded from stats")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--rings", type=int, default=64)
+    ap.add_argument("--az", type=int, default=2048)
+    ap.add_argument("--map-capacity", type=int, default=1 << 17)
+    ap.add_argument("--map-voxel", type=float, default=1.0)
+    ap.add_argument("--speed", type=float, default=0.35)
+    ap.add_argument("--hard", action="store_true",
+                    help="clutter world: 8x boxes + 250 poles + 300 scatterers")
+    ap.add_argument("--map-type", default="VOXEL_HASH_MAP",
+                    choices=["VOXEL_HASH_MAP", "OCCUPANCY_GRID_MAP"])
+    ap.add_argument("--kf-points", type=int, default=512,
+                    help="points sampled into the map per keyframe")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="PipelinedLidarOdometry: device-resident state + "
+                         "one-frame-deferred async stats fetch")
+    ap.add_argument("--precompile-growth", type=int, default=0, metavar="CAP",
+                    help="after the first fused frame, synchronously compile "
+                         "every map-growth step up to CAP (the deployment "
+                         "warm-start for growth-heavy streams); the cost is "
+                         "reported as growth_precompile_s, outside frame stats")
+    ap.add_argument("--distort", action="store_true",
+                    help="motion-distorted scans: each azimuth column raycast "
+                         "from its sweep-interpolated pose, per-point "
+                         "timestamps attached (the real-sensor skew the "
+                         "reference corrects per frame, "
+                         "relative_pose_deskew.hpp:37)")
+    ap.add_argument("--deskew", choices=["on", "off"], default="on",
+                    help="with --distort: enable the VICP constant-velocity "
+                         "deskew inside registration (velocity_update.hpp:"
+                         "17-109); 'off' quantifies the uncorrected damage")
+    ap.add_argument("--scan-points", type=int, default=5000,
+                    help="preprocess random-downsampling target (raise for "
+                         "full-cloud tiers)")
+    ap.add_argument("--reg-sampling", type=int, default=1000,
+                    help="registration input sampling num; 0 disables "
+                         "sampling (registration runs on the whole "
+                         "preprocessed cloud)")
+    ap.add_argument("--coarse-to-fine", type=int, default=0, metavar="ITERS",
+                    help="first ITERS ICP iterations search every "
+                         "coarse_stride-th target point (full-cloud speed "
+                         "knob through the PIPELINE params — "
+                         "registration.factor.coarse_to_fine_iters)")
+    ap.add_argument("--oracle-capacity", type=int, default=0, metavar="CAP",
+                    help="also run an ample-capacity control replay at CAP "
+                         "and attach its ATE, separating 'growth machinery "
+                         "costs accuracy' from 'trajectory is just harder'")
+    args = ap.parse_args()
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
+
+    world = World(hard=args.hard)
+    poses = figure8_trajectory(args.frames, speed=args.speed)
+    scans_np, stamps_np = generate_scans(args, world, poses)
+
+    out = run_replay(args, poses, scans_np, stamps_np, args.map_capacity,
+                     precompile_growth=args.precompile_growth)
+    if args.oracle_capacity:
+        print("oracle control run...", file=sys.stderr, flush=True)
+        oracle = run_replay(args, poses, scans_np, stamps_np,
+                            args.oracle_capacity)
+        out["oracle"] = {
+            "map_capacity_initial": args.oracle_capacity,
+            "ate_translation_m": oracle["ate_translation_m"],
+            "frames_ok": oracle["frames_ok"],
+            "map_dropped": oracle["map_dropped"],
+            "growth_events": len(oracle["growth_events"]),
+        }
     print(json.dumps(out))
     if args.json:
         with open(args.json, "w") as f:

@@ -192,6 +192,7 @@ def main():
         "served_frames_per_sec": round(fps, 2),
         "ms_per_frame_e2e_median": round(float(np.median(lat)), 2) if lat else None,
         "ms_per_frame_e2e_p90": round(float(np.percentile(lat, 90)), 2) if lat else None,
+        "ms_per_frame_e2e_p99": round(float(np.percentile(lat, 99)), 2) if lat else None,
         "poses_received": len(arrivals),
         "scan_queue_dropped": tele["scan_queue_dropped"],
         "frames_truncated_points": tele["frames_truncated_points"],

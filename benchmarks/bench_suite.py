@@ -421,6 +421,28 @@ def config7_mapping_ops(src, tgt, cap):
         marginal_ms_carry(b_og_insert_tiered, ostate), 3
     )
 
+    # Carve-on-cycle knob (reference update knobs,
+    # occupancy_grid_map.hpp:1072-1235): hits every insert, carve every 2nd —
+    # the amortized per-insert cost is the steady-state OG frame budget when
+    # the knob is on.  The marginal loop's frame counter alternates the
+    # lax.cond branches, so the measured mean IS the amortized cost.
+    import dataclasses as _dc
+
+    ocfg_c2 = _dc.replace(ocfg, free_space_update_cycle=2)
+    ostate_c2 = jax.block_until_ready(
+        jax.jit(lambda c: og.add_point_cloud(og.create(ocfg_c2), ocfg_c2, c, eye))(g0c)
+    )
+
+    def b_og_insert_c2(i, carry):
+        st, acc = carry
+        s = g0c.replace(points=g0c.points + 1e-12 * acc)
+        st = og.add_point_cloud(st, ocfg_c2, s, eye)
+        return st, acc + st.log_odds[0]
+
+    out["og_insert_carve_ms_cycle2"] = round(
+        marginal_ms_carry(b_og_insert_c2, ostate_c2), 3
+    )
+
     def b_og_extract(i, acc):
         c = og.extract_occupied_points(
             ostate, ocfg, jnp.zeros(3) + 1e-12 * acc, 100.0, out_capacity=1 << 14

@@ -72,8 +72,11 @@ class World:
         self.box_hi = np.concatenate([c + half, hz], axis=1)
 
     def raycast(self, origin: np.ndarray, dirs: np.ndarray) -> np.ndarray:
-        """First-hit distance per ray (inf = sky).  Jitted JAX (fast on this
-        weak host CPU); input prep only, never inside a timed body."""
+        """First-hit distance per ray (inf = sky).  ``origin`` is a single
+        [3] position or per-ray [R,3] positions (the distorted-scan path
+        emits every azimuth column from its own sweep pose).  Jitted JAX
+        (fast on this weak host CPU); input prep only, never inside a timed
+        body."""
         import jax
         import jax.numpy as jnp
 
@@ -82,11 +85,11 @@ class World:
             inf = jnp.float32(np.inf)
             dz = dirs[:, 2]
             m = dz < -1e-6
-            tg = jnp.where(m, -origin[2] / jnp.where(m, dz, 1.0), inf)
+            tg = jnp.where(m, -origin[:, 2] / jnp.where(m, dz, 1.0), inf)
             t_best = jnp.where(tg > 0, tg, inf)
 
             # cylinder x^2+y^2 = wall_r^2
-            ox, oy = origin[0], origin[1]
+            ox, oy = origin[:, 0], origin[:, 1]
             dx, dy = dirs[:, 0], dirs[:, 1]
             a = dx * dx + dy * dy
             b = 2 * (ox * dx + oy * dy)
@@ -102,14 +105,17 @@ class World:
 
             # boxes, slab method: [R, n_boxes]
             inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-9, dirs, 1e-9)
-            t0 = (box_lo[None, :, :] - origin[None, None, :]) * inv[:, None, :]
-            t1 = (box_hi[None, :, :] - origin[None, None, :]) * inv[:, None, :]
+            t0 = (box_lo[None, :, :] - origin[:, None, :]) * inv[:, None, :]
+            t1 = (box_hi[None, :, :] - origin[:, None, :]) * inv[:, None, :]
             tmin = jnp.max(jnp.minimum(t0, t1), axis=2)
             tmax = jnp.min(jnp.maximum(t0, t1), axis=2)
             hit = tmax >= jnp.maximum(tmin, 1e-3)
             tb = jnp.where(hit, tmin, inf)
             return jnp.minimum(t_best, tb.min(axis=1))
 
+        origin = np.asarray(origin, np.float64)
+        if origin.ndim == 1:
+            origin = np.broadcast_to(origin, (len(dirs), 3))
         return np.asarray(
             impl(
                 jnp.asarray(origin, jnp.float32),
@@ -161,6 +167,55 @@ def scan_at(world: World, T: np.ndarray, n_az=2048, n_rings=64,
         os.makedirs(_CACHE_DIR, exist_ok=True)
         np.save(path, pts)
     return pts
+
+
+def scan_at_distorted(world: World, T_start: np.ndarray, T_end: np.ndarray,
+                      n_az=2048, n_rings=64, max_range=80.0, noise=0.01,
+                      seed=0, scan_duration_ms=100.0, cache_tag=None):
+    """Motion-distorted scan with per-point timestamps.
+
+    A real spinning LiDAR sweeps azimuth over the scan window while the
+    vehicle moves; the driver assembles all returns into one cloud as if the
+    sensor had been static — that skew is exactly what the deskew machinery
+    (deskew/relative_pose_deskew.hpp:37, imu_deskew.hpp:123) corrects.  Here
+    each azimuth column j (time fraction f = j/n_az) is raycast from the
+    interpolated pose ``T_start . exp(f . log(T_start^-1 T_end))`` and the
+    return is recorded in THAT column's instantaneous sensor frame; the
+    assembled cloud is therefore distorted by the true inter-frame twist.
+
+    Returns ``(pts [N,3] f32, t_offsets_ms [N] f32)`` — timestamp offsets in
+    milliseconds from scan start (reference TimestampOffset convention,
+    points/types.hpp:11-51).
+    """
+    path = None
+    if cache_tag is not None:
+        path = os.path.join(_CACHE_DIR, f"{cache_tag}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return z["pts"], z["t_ms"]
+    from sycl_points_tpu.utils import lie_np
+
+    dirs_s = hdl64_dirs(n_az, n_rings, seed)  # az-major: ray = j*n_rings + e
+    xi = lie_np.se3_log(np.linalg.inv(T_start) @ T_end)
+    fracs = np.arange(n_az, dtype=np.float64) / n_az
+    # one pose per azimuth column (exact per-column sweep interpolation)
+    col_T = np.stack([T_start @ lie_np.se3_exp(f * xi) for f in fracs])
+    R_cols = col_T[:, :3, :3]  # [n_az, 3, 3]
+    o_cols = col_T[:, :3, 3]  # [n_az, 3]
+    dirs_cols = dirs_s.reshape(n_az, n_rings, 3)
+    dirs_w = np.einsum("jab,jrb->jra", R_cols, dirs_cols).reshape(-1, 3)
+    origins = np.repeat(o_cols, n_rings, axis=0)
+    t = world.raycast(origins, dirs_w.astype(np.float64))
+    t_ms = np.repeat(fracs * scan_duration_ms, n_rings)
+    ok = np.isfinite(t) & (t > 1.0) & (t < max_range)
+    rng = np.random.default_rng(seed + 1)
+    t = t[ok] + rng.normal(scale=noise, size=ok.sum())
+    pts = (dirs_s[ok] * t[:, None].astype(np.float32)).astype(np.float32)
+    t_ms = t_ms[ok].astype(np.float32)
+    if path is not None:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        np.savez(path, pts=pts, t_ms=t_ms)
+    return pts, t_ms
 
 
 def figure8_imu(t: float, radius=18.0, speed=0.35, frame_dt=0.1,

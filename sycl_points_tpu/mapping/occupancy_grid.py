@@ -63,6 +63,12 @@ class OccupancyGridConfig:
     occupancy_threshold_log_odds: float = 0.0  # p = 0.5
     stale_frame_threshold: int = 100
     free_space_updates_enabled: bool = True
+    # Carve free space every k-th insert (hits still integrate every frame):
+    # the reference exposes the same hit-every-frame / carve-on-cycle split
+    # through its update knobs (occupancy_grid_map.hpp:1072-1235).  The
+    # carve merge dominates the OG insert cost, so cycle=2 roughly halves
+    # the steady-state insert time at slightly slower free-space decay.
+    free_space_update_cycle: int = 1
     voxel_pruning_enabled: bool = True
     # Static DDA bound (voxels crossed per ray).  0 = derive from geometry:
     # a ray of length L crosses at most ceil(sqrt(3) * L / voxel_size) + 3
@@ -548,44 +554,72 @@ def add_point_cloud(
 
     # ---- free space (misses) ---------------------------------------------
     if config.free_space_updates_enabled and config.log_odds_miss != 0.0:
-        (miss_keys, origin_emit, origin_coord, base, B, n_clamped, carve_lost,
-         n_truncated) = _ray_carve_keys(
-            origin, pts_map, ok, config.voxel_size,
-            config.ray_axis_budget, config.max_ray_distance,
-            step_limit=config.max_ray_steps,
-        )
-        n_budget_lost = n_budget_lost + carve_lost
-        # Per-ray origin miss unless the origin voxel received a hit this
-        # frame (occupancy_grid_map.hpp:1427-1434).  All N origin misses hit
-        # ONE voxel, so it joins the merged keys as a single appended row
-        # instead of N sort rows.
-        origin_hit = jnp.any(ok & jnp.all(coords == origin_coord[None, :], axis=-1))
-        origin_cnt = jnp.where(
-            origin_hit, 0.0, jnp.sum(origin_emit.astype(jnp.float32))
-        )
+        def _carve(carry):
+            coords_tbl, used, pending, last_update = carry
+            (miss_keys, origin_emit, origin_coord, base, B, n_clamped,
+             carve_lost, n_truncated) = _ray_carve_keys(
+                origin, pts_map, ok, config.voxel_size,
+                config.ray_axis_budget, config.max_ray_distance,
+                step_limit=config.max_ray_steps,
+            )
+            # Per-ray origin miss unless the origin voxel received a hit this
+            # frame (occupancy_grid_map.hpp:1427-1434).  All N origin misses
+            # hit ONE voxel, so it joins the merged keys as a single appended
+            # row instead of N sort rows.
+            origin_hit = jnp.any(
+                ok & jnp.all(coords == origin_coord[None, :], axis=-1)
+            )
+            origin_cnt = jnp.where(
+                origin_hit, 0.0, jnp.sum(origin_emit.astype(jnp.float32))
+            )
 
-        # Lean key-only merge straight into `miss_merge_budget` unique slots;
-        # unique voxels beyond the budget are counted into `budget_lost`
-        # (a fixed per-frame budget — growing the table cannot raise it).
-        m_keys, m_cnt, m_lost = _merge_miss_keys(
-            miss_keys.reshape(-1), config.miss_merge_budget, B, base
-        )
-        # Origin row PREPENDED: merged keys are rank-ordered so valid rows
-        # form a front prefix, which the tiered resolve exploits to skip
-        # probe work on the (usually empty) budget tail.  The origin voxel
-        # never appears among carve emissions (strictly-between semantics),
-        # so key uniqueness holds either way.
-        m_keys = jnp.concatenate([origin_coord[None, :], m_keys], axis=0)
-        m_cnt = jnp.concatenate([origin_cnt[None], m_cnt], axis=0)
-        m_valid = m_cnt > 0.0
-        coords_tbl, used, m_slot, m_resolved = resolve_slots_tiered(
-            coords_tbl, used, m_keys, m_valid, config.capacity, config.max_probes
-        )
-        m_tgt = jnp.where(m_resolved, m_slot, config.capacity)
-        pending = pending.at[m_tgt].add(m_cnt * config.log_odds_miss, mode="drop")
-        last_update = last_update.at[m_tgt].set(state.frame, mode="drop")
-        n_dropped = n_dropped + jnp.sum((m_valid & ~m_resolved).astype(jnp.int32))
-        n_budget_lost = n_budget_lost + m_lost
+            # Lean key-only merge straight into `miss_merge_budget` unique
+            # slots; unique voxels beyond the budget are counted into
+            # `budget_lost` (a fixed per-frame budget — growing the table
+            # cannot raise it).
+            m_keys, m_cnt, m_lost = _merge_miss_keys(
+                miss_keys.reshape(-1), config.miss_merge_budget, B, base
+            )
+            # Origin row PREPENDED: merged keys are rank-ordered so valid
+            # rows form a front prefix, which the tiered resolve exploits to
+            # skip probe work on the (usually empty) budget tail.  The origin
+            # voxel never appears among carve emissions (strictly-between
+            # semantics), so key uniqueness holds either way.
+            m_keys = jnp.concatenate([origin_coord[None, :], m_keys], axis=0)
+            m_cnt = jnp.concatenate([origin_cnt[None], m_cnt], axis=0)
+            m_valid = m_cnt > 0.0
+            coords_tbl, used, m_slot, m_resolved = resolve_slots_tiered(
+                coords_tbl, used, m_keys, m_valid, config.capacity,
+                config.max_probes,
+            )
+            m_tgt = jnp.where(m_resolved, m_slot, config.capacity)
+            pending = pending.at[m_tgt].add(
+                m_cnt * config.log_odds_miss, mode="drop"
+            )
+            last_update = last_update.at[m_tgt].set(state.frame, mode="drop")
+            dn = jnp.sum((m_valid & ~m_resolved).astype(jnp.int32))
+            return (coords_tbl, used, pending, last_update,
+                    dn, carve_lost + m_lost, n_truncated, n_clamped)
+
+        def _skip(carry):
+            coords_tbl, used, pending, last_update = carry
+            z = jnp.int32(0)
+            return (coords_tbl, used, pending, last_update, z, z, z, z)
+
+        carry = (coords_tbl, used, pending, last_update)
+        if config.free_space_update_cycle > 1:
+            # carve on the cycle (reference knob semantics); lax.cond skips
+            # the whole carve subgraph on off-cycle frames at run time
+            (coords_tbl, used, pending, last_update, dn, db, n_truncated,
+             n_clamped) = jax.lax.cond(
+                state.frame % config.free_space_update_cycle == 0,
+                _carve, _skip, carry,
+            )
+        else:
+            (coords_tbl, used, pending, last_update, dn, db, n_truncated,
+             n_clamped) = _carve(carry)
+        n_dropped = n_dropped + dn
+        n_budget_lost = n_budget_lost + db
 
     # ---- apply pending with clamp ----------------------------------------
     log_odds = jnp.where(

@@ -145,12 +145,16 @@ class FleetOdometry:
 
         sp = params.submap
         num = sp.point_random_sampling_num
+        # The fleet pins ONE extraction tier for all B streams (the vmapped
+        # programs share a single target shape); pass it explicitly so the
+        # template submap's tiering state can't leak into fleet programs.
         extract_cap = sp.extract_capacity
+        self._extract_cap = extract_cap
         finalize = t.submap.finalize_traced
         need_finalize = t.submap._need_covs or t.submap._need_normals
 
         def _make_bootstrap(cfg):
-            ie = self._t.submap.make_insert_extract(cfg)
+            ie = self._t.submap.make_insert_extract(cfg, extract_cap)
 
             def _bootstrap_fn(cloud_pre, pose, key, map_state):
                 # add_first_frame semantics (submapping.hpp:85-97): sample
@@ -263,7 +267,7 @@ class FleetOdometry:
             raw = make_submap_step(
                 self.params, sm, use_pallas=False,
                 robust_scale=self._robust_scale,
-                ie=sm.make_insert_extract(cfg), cfg=cfg,
+                ie=sm.make_insert_extract(cfg, self._extract_cap), cfg=cfg,
             )
             fn = jax.jit(jax.vmap(raw))
             self._submap_jits[capacity] = fn
@@ -282,7 +286,9 @@ class FleetOdometry:
         fn = self._ie_jits.get(capacity)
         if fn is None:
             fn = jax.jit(jax.vmap(
-                self._t.submap.make_insert_extract(self._cfg_at(capacity))
+                self._t.submap.make_insert_extract(
+                    self._cfg_at(capacity), self._extract_cap
+                )
             ))
             self._ie_jits[capacity] = fn
         return fn

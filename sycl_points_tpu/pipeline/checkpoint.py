@@ -45,6 +45,7 @@ def save_checkpoint(path: str, odometry) -> None:
         "keyframe_poses": np.stack(odometry.submap.keyframe_poses),
         "last_keyframe_pose": np.asarray(odometry.submap.last_keyframe_pose),
         "last_keyframe_time": np.float64(odometry.submap.last_keyframe_time),
+        "extract_capacity": np.int64(odometry.submap.extract_capacity),
     }
     data.update(_flatten_state("map_", odometry.submap.map_state))
     meta = {"kind": type(odometry).__name__, "is_occupancy": odometry.submap.is_occupancy}
@@ -99,11 +100,17 @@ def load_checkpoint(path: str, odometry) -> None:
             kwargs[name] = jnp.asarray(z[f"map_{name}"])
     sm = odometry.submap
     loaded_cap = int(kwargs["coords"].shape[0])
-    if loaded_cap != sm.map_capacity:  # map had grown when saved
+    want_ext = (
+        int(z["extract_capacity"]) if "extract_capacity" in z
+        else sm.extract_tier_for(loaded_cap)
+    )
+    if loaded_cap != sm.map_capacity or want_ext != sm.extract_capacity:
+        # map (and/or extraction tier) had grown when saved
         if sm.is_occupancy:
             sm.og_config = dataclasses.replace(sm.og_config, capacity=loaded_cap)
         else:
             sm.vhm_config = dataclasses.replace(sm.vhm_config, capacity=loaded_cap)
+        sm.extract_capacity = want_ext
         sm._rebuild_insert_extract()
     sm.map_state = dataclasses.replace(ms, **kwargs)
     # re-sync the drop mirror: map_state.dropped is cumulative, and a fresh
@@ -140,7 +147,7 @@ def load_checkpoint(path: str, odometry) -> None:
             extracted = og.extract_occupied_points(
                 sm.map_state, sm.og_config, center,
                 sm.params.submap.max_distance_range,
-                out_capacity=sm.params.submap.extract_capacity,
+                out_capacity=sm.extract_capacity,
             )
         else:
             from sycl_points_tpu.mapping import voxel_hash_map as vhm
@@ -148,7 +155,7 @@ def load_checkpoint(path: str, odometry) -> None:
             extracted = vhm.extract(
                 sm.map_state, sm.vhm_config, center,
                 sm.params.submap.max_distance_range,
-                out_capacity=sm.params.submap.extract_capacity, with_covs=False,
+                out_capacity=sm.extract_capacity, with_covs=False,
             )
         from sycl_points_tpu.ops.knn import build_target_knn
 

@@ -176,12 +176,27 @@ def _sampled_struct(params, deskewed) -> PointCloud:
     )
 
 
+def _target_struct(submap, ext_cap: int):
+    """Shape/dtype signature of the finalized submap target at an extraction
+    capacity (what the registration step and the fused submap step receive
+    as ``submap_prev``)."""
+    raw = PointCloud(
+        points=jax.ShapeDtypeStruct((ext_cap, 3), jnp.float32),
+        mask=jax.ShapeDtypeStruct((ext_cap,), jnp.bool_),
+    )
+    if submap._need_covs or submap._need_normals:
+        return jax.eval_shape(submap.finalize_traced, raw)
+    return raw
+
+
 def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
-    """Compile and publish the THREE programs a growth event from ``cfg``
-    pays for: the rehash (grow) program ``cfg -> 2x``, the standalone
+    """Compile and publish the programs a growth event from ``cfg`` pays
+    for: the rehash (grow) program ``cfg -> 2x``, the standalone
     insert+extract jit at the grown capacity (``retry_insert_after_drop`` /
-    legacy ``_build_submap``), and the fused submap-step program at the
-    grown capacity.  Returns the grown config.  Idempotent per capacity —
+    legacy ``_build_submap``), the fused submap-step program at the grown
+    capacity, the extraction-only program, and — when the extract tier
+    changes shape — the registration-step program at the new target shape.
+    Returns the grown config.  Idempotent per (capacity, extract tier) —
     already-published programs are skipped."""
     import dataclasses as _dc
 
@@ -191,6 +206,7 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
     else:
         from sycl_points_tpu.mapping import voxel_hash_map as _m
     next_cfg = _dc.replace(cfg, capacity=cfg.capacity * 2)
+    next_ext = submap.extract_tier_for(next_cfg.capacity)
     state_struct = jax.eval_shape(lambda: _m.create(cfg))
     next_state_struct = jax.eval_shape(lambda: _m.create(next_cfg))
 
@@ -203,24 +219,50 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
         submap._grow_cache[cfg.capacity] = gfn
     gfn.lower(state_struct).compile()
 
-    iefn = submap._prebuilt_ie.get(next_cfg.capacity)
+    ie_key = (next_cfg.capacity, next_ext)
+    iefn = submap._prebuilt_ie.get(ie_key)
     if iefn is None:
-        iefn = jax.jit(submap.make_insert_extract(next_cfg))
-        submap._prebuilt_ie[next_cfg.capacity] = iefn
+        iefn = jax.jit(submap.make_insert_extract(next_cfg, next_ext))
+        submap._prebuilt_ie[ie_key] = iefn
     sampled = _sampled_struct(pipeline.params, arg_structs[2])
     pose = jax.ShapeDtypeStruct((4, 4), jnp.float32)
     iefn.lower(next_state_struct, sampled, pose).compile()
 
+    # extraction-only program (tier re-extract / overflow slow path)
+    exfn = submap._extract_cache.get(ie_key)
+    if exfn is None:
+        exfn = jax.jit(submap.make_extract_only(next_cfg, next_ext))
+        submap._extract_cache[ie_key] = exfn
+    exfn.lower(next_state_struct, jax.ShapeDtypeStruct((3,), jnp.float32)).compile()
+
+    target = _target_struct(submap, next_ext)
     prebuilt = getattr(pipeline, "_prebuilt_submap", {})
     pipeline._prebuilt_submap = prebuilt
-    fn = prebuilt.get(next_cfg.capacity)
+    fn = prebuilt.get(ie_key)
     if fn is None:
         fn = build_submap_step(
             pipeline.params, submap, pipeline._use_pallas, robust_scale,
-            ie=submap.make_insert_extract(next_cfg), cfg=next_cfg,
+            ie=submap.make_insert_extract(next_cfg, next_ext), cfg=next_cfg,
         )
-        prebuilt[next_cfg.capacity] = fn
-    fn.lower(next_state_struct, *arg_structs[1:]).compile()
+        prebuilt[ie_key] = fn
+    fn.lower(next_state_struct, target, *arg_structs[2:]).compile()
+
+    # When the extract tier changes shape, the registration step retraces at
+    # the new target shape — precompile it too (the dominant growth compile).
+    # Every pipeline's step takes (source, target, knn, ...) in that order.
+    reg_structs = getattr(pipeline, "_reg_arg_structs", None)
+    reg_jit = getattr(pipeline, "_reg_step_jit", None) or getattr(
+        pipeline, "_lio_step_jit", None
+    )
+    if (
+        reg_structs is not None and reg_jit is not None
+        and target.points.shape != reg_structs[1].points.shape
+    ):
+        knn = BruteForceKNN(
+            points=target.points, mask=target.mask,
+            use_pallas=pipeline._use_pallas,
+        )
+        reg_jit.lower(reg_structs[0], target, knn, *reg_structs[3:]).compile()
 
     # Pipelined pipelines additionally pay the fused reconcile-chain program
     # on a drop-retry growth (Submap.reconcile_chain); precompile it at the
@@ -228,10 +270,10 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
     window = getattr(pipeline, "_max_in_flight", None)
     if window is not None:
         window = window + 1
-        key = (next_cfg.capacity, window)
+        key = (next_cfg.capacity, window, next_ext)
         cfn = submap._chain_cache.get(key)
         if cfn is None:
-            cfn = jax.jit(submap.make_reapply_chain(next_cfg, window))
+            cfn = jax.jit(submap.make_reapply_chain(next_cfg, window, next_ext))
             submap._chain_cache[key] = cfn
         clouds_t = tuple(sampled for _ in range(window))
         pose_s = jax.ShapeDtypeStruct((4, 4), jnp.float32)
@@ -269,7 +311,10 @@ def start_growth_precompile(
     if not enabled:
         return
     cfg = submap.map_config
-    caps = [cfg.capacity * (2 ** (i + 1)) for i in range(steps_ahead)]
+    caps = [
+        (c, submap.extract_tier_for(c))
+        for c in (cfg.capacity * (2 ** (i + 1)) for i in range(steps_ahead))
+    ]
     if all(c in started for c in caps):
         return
     started.update(caps)
@@ -307,7 +352,9 @@ def precompile_growth_ladder(pipeline, max_capacity: int, wait: bool = True) -> 
         cfg = pipeline.submap.map_config
         n = 0
         while cfg.capacity < max_capacity:
-            started.add(cfg.capacity * 2)
+            started.add(
+                (cfg.capacity * 2, pipeline.submap.extract_tier_for(cfg.capacity * 2))
+            )
             cfg = _compile_growth_step(pipeline, robust_scale, arg_structs, cfg)
             n += 1
         return n

@@ -255,7 +255,7 @@ class LidarInertialOdometry:
     def _build_submap_step(self):
         self._submap_robust_scale = None
         cached = getattr(self, "_prebuilt_submap", {}).get(
-            self.submap.map_capacity
+            (self.submap.map_capacity, self.submap.extract_capacity)
         )
         if cached is not None:
             self._submap_step_jit = cached
@@ -381,11 +381,17 @@ class LidarInertialOdometry:
             ]
         )
         self._key, k1, k2 = jax.random.split(self._key, 3)
-        x_new, P_new, reg_input, T_eff, is_kf, s1 = self._lio_step_jit(
+        reg_args = (
             pre, self.submap.submap_cloud, self.submap.submap_knn,
             self.x, self.P_post,
             jnp.asarray(imu_pack), jnp.asarray(misc), k1,
         )
+        # shape signature for the growth precompile (the LIO step retraces
+        # when the extract tier changes the target shape)
+        self._reg_arg_structs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), reg_args
+        )
+        x_new, P_new, reg_input, T_eff, is_kf, s1 = self._lio_step_jit(*reg_args)
         self.processing_times["3. registration"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -466,6 +472,10 @@ class LidarInertialOdometry:
             self._dropped_seen = int(dropped)
             if float(load) > 0.7:
                 self.submap._grow_map()
+        # extract-overflow backstop (see LidarOdometry._process_fused)
+        if self.submap.extract_overflow > 0:
+            if self.submap.resolve_extract_overflow(T_np):
+                self.sync_count_last_frame += 2
         self.processing_times["4. build submap"] += time.perf_counter() - t0
         return ResultType.success
 

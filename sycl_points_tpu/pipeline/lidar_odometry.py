@@ -232,7 +232,7 @@ class LidarOdometry:
         )
         self._submap_robust_scale = robust_scale
         cached = getattr(self, "_prebuilt_submap", {}).get(
-            self.submap.map_capacity
+            (self.submap.map_capacity, self.submap.extract_capacity)
         )
         if cached is not None:
             self._submap_step_jit = cached
@@ -429,11 +429,16 @@ class LidarOdometry:
                 np.asarray([kf_dt_exceeded], np.float32),
             ]
         )
-        result, deskewed, T_eff, is_kf, s1 = self._reg_step_jit(
+        reg_args = (
             pre, self.submap.submap_cloud, self.submap.submap_knn,
-            jnp.asarray(misc),
-            prev_T, prev_H, prev_er, prev_in,
+            jnp.asarray(misc), prev_T, prev_H, prev_er, prev_in,
         )
+        # shape signature for the growth precompile (the registration step
+        # retraces when the extract tier changes the target shape)
+        self._reg_arg_structs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), reg_args
+        )
+        result, deskewed, T_eff, is_kf, s1 = self._reg_step_jit(*reg_args)
         self.processing_times["3. registration"] += time.perf_counter() - t0
 
         # ---- program B: submap update (re-jitted on growth) ----------------
@@ -503,6 +508,13 @@ class LidarOdometry:
             self._dropped_seen = int(dropped)  # from the fused stats, no sync
             if float(load) > 0.7:
                 self.submap._grow_map()
+        # extract-overflow backstop: the in-range voxel set outgrew the
+        # extraction budget without a map growth — grow the tier and
+        # re-extract so the target is never silently truncated (counter
+        # travels in the fused stats; slow path syncs only when it fires)
+        if self.submap.extract_overflow > 0:
+            if self.submap.resolve_extract_overflow(T_np):
+                self.sync_count_last_frame += 2
         self.processing_times["4. build submap"] += time.perf_counter() - t0
 
         # full-resolution CV deskew for publishing (hpp:272-277)

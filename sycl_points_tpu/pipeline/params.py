@@ -163,6 +163,10 @@ class SubmapOccupancyGridParams:
     log_odds_limits_max: float = 4.0
     occupied_threshold: float = 0.5
     enable_free_space_updates: bool = True
+    # Carve free space every k-th frame, hits every frame (reference update
+    # knobs, occupancy_grid_map.hpp:1072-1235); the carve merge dominates
+    # the OG insert cost.
+    free_space_update_cycle: int = 1
     enable_pruning: bool = True
     stale_frame_threshold: int = 100
 
@@ -182,6 +186,11 @@ class SubmapParams:
     # TPU-specific static capacities:
     map_capacity: int = 1 << 17
     extract_capacity: int = 1 << 14
+    # Tier the extraction budget with map growth (and on observed overflow):
+    # ``extract_capacity`` is then the BASE tier, and the in-range submap
+    # target is never silently truncated (Submap.extract_tier_for /
+    # resolve_extract_overflow).
+    extract_capacity_growth: bool = True
 
 
 # --- covariance estimation ---------------------------------------------------

@@ -259,11 +259,17 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
             [timestamp, self._imu_bias_observable()], np.float32
         )
         self._key, k1, k2 = jax.random.split(self._key, 3)
-        x_new, P_new, reg_input, T_eff, is_kf, new_carry, s1 = self._lio_step_jit(
+        reg_args = (
             pre, self.submap.submap_cloud, self.submap.submap_knn,
             self.x, self.P_post,
             jnp.asarray(imu_pack), self._carry, jnp.asarray(host_vec), k1,
         )
+        # shape signature for the growth precompile (the LIO step retraces
+        # when the extract tier changes the target shape)
+        self._reg_arg_structs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), reg_args
+        )
+        x_new, P_new, reg_input, T_eff, is_kf, new_carry, s1 = self._lio_step_jit(*reg_args)
         self._carry = new_carry
         self.x = x_new
         self.P_post = P_new
@@ -381,6 +387,10 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
                     self._pending[-1].frame_index if self._pending
                     else pend.frame_index
                 )
+        # extract-overflow backstop (see LidarOdometry._process_fused)
+        if self.submap.extract_overflow > 0:
+            if self.submap.resolve_extract_overflow(T_np):
+                self.sync_count_last_frame += 2
 
     def flush(self) -> None:
         """Resolve all in-flight frames (call once after the stream)."""

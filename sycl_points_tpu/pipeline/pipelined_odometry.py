@@ -303,10 +303,16 @@ class PipelinedLidarOdometry(LidarOdometry):
 
         # ---- program A: registration (reads only the target cloud) ----
         host_vec = np.asarray([self.dt, timestamp], np.float32)
-        result, deskewed, T_eff, is_kf, new_carry, s1 = self._reg_step_jit(
+        reg_args = (
             pre, self.submap.submap_cloud, self.submap.submap_knn,
             self._carry, jnp.asarray(host_vec),
         )
+        # shape signature for the growth precompile (the registration step
+        # retraces when the extract tier changes the target shape)
+        self._reg_arg_structs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), reg_args
+        )
+        result, deskewed, T_eff, is_kf, new_carry, s1 = self._reg_step_jit(*reg_args)
         self._carry = new_carry
         self.reg_result = result
         self.processing_times["3. registration"] += time.perf_counter() - t0
@@ -458,6 +464,13 @@ class PipelinedLidarOdometry(LidarOdometry):
                     self._pending[-1].frame_index if self._pending
                     else pend.frame_index
                 )
+        # extract-overflow backstop (see LidarOdometry._process_fused): grow
+        # the extraction tier and re-extract so later dispatches use an
+        # untruncated target.  Frames already in flight registered against
+        # the truncated one — the standard one-tier-transition cost.
+        if self.submap.extract_overflow > 0:
+            if self.submap.resolve_extract_overflow(T_np):
+                self.sync_count_last_frame += 2
 
     def flush(self) -> None:
         """Resolve all in-flight frames (call once after the stream)."""

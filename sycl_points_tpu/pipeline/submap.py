@@ -52,6 +52,7 @@ class Submap:
                 occupancy_threshold_log_odds=og.probability_to_log_odds(ogp.occupied_threshold),
                 stale_frame_threshold=ogp.stale_frame_threshold,
                 free_space_updates_enabled=ogp.enable_free_space_updates,
+                free_space_update_cycle=ogp.free_space_update_cycle,
                 voxel_pruning_enabled=ogp.enable_pruning,
             )
             self.map_state = og.create(self.og_config)
@@ -77,6 +78,16 @@ class Submap:
         # losses (not growth-fixable, see mapping backends).
         self.extract_overflow = 0
         self.budget_lost = 0
+        # Extract capacity TIERS with map growth: params.extract_capacity is
+        # the BASE tier; when the map doubles, the extraction budget follows
+        # at the same ratio (and the overflow counter triggers direct growth
+        # as a backstop, see resolve_extract_overflow).  A static budget
+        # silently truncated the submap target once the in-range voxel count
+        # outgrew it (the r3 pipelined growth replay's 2x ATE regression).
+        self.extract_capacity = sp.extract_capacity
+        self._extract_ratio = max(1, sp.map_capacity // sp.extract_capacity)
+        self._extract_growth = getattr(sp, "extract_capacity_growth", True)
+        self._extract_cache: dict = {}
 
         reg_type = params.registration.factor.reg_type
         self._need_covs = (
@@ -109,24 +120,27 @@ class Submap:
         # structure change between frame 1 and 2 would retrace the cached
         # align program.
         def _first(cl, pose):
-            c = transform_cloud(compact_device(cl, out_capacity=sp_.extract_capacity), pose)
+            c = transform_cloud(compact_device(cl, out_capacity=self.extract_capacity), pose)
             return PointCloud(points=c.points, mask=c.mask)
 
         self._first_target = jax.jit(_first)
         self._finalize_jit = jax.jit(self.finalize_traced)
 
     # ------------------------------------------------------------------
-    def make_insert_extract(self, cfg):
-        """Build the insert+extract traceable for an ARBITRARY map config
-        (pure closure over ``cfg``; does not touch mutable state — safe to
-        call from the background growth-precompile thread)."""
+    def make_insert_extract(self, cfg, ext_cap: Optional[int] = None):
+        """Build the insert+extract traceable for an ARBITRARY map config and
+        extraction capacity (pure closure over ``cfg``/``ext_cap``; does not
+        touch mutable state — safe to call from the background
+        growth-precompile thread).  ``ext_cap=None`` uses the CURRENT tiered
+        extract capacity."""
         sp_ = self.params.submap
+        ext = self.extract_capacity if ext_cap is None else ext_cap
         if self.is_occupancy:
             def _ie(st, cl, pose):
                 ns = og.add_point_cloud(st, cfg, cl, pose)
                 extracted, overflow = og.extract_occupied_points(
                     ns, cfg, pose[:3, 3],
-                    sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                    sp_.max_distance_range, out_capacity=ext,
                     with_overflow=True,
                 )
                 return ns, extracted, og.load_factor(ns, cfg), overflow
@@ -144,11 +158,40 @@ class Submap:
                     )
                 extracted, overflow = vhm.extract(
                     ns, cfg, pose[:3, 3],
-                    sp_.max_distance_range, out_capacity=sp_.extract_capacity,
+                    sp_.max_distance_range, out_capacity=ext,
                     with_covs=False, with_overflow=True,
                 )
                 return ns, extracted, vhm.load_factor(ns, cfg), overflow
         return _ie
+
+    def make_extract_only(self, cfg, ext_cap: int):
+        """Extraction-only traceable (no insert): used by the
+        extract-overflow slow path to re-extract the submap target at a
+        grown budget from an already-committed map state."""
+        sp_ = self.params.submap
+        if self.is_occupancy:
+            def _ex(st, origin):
+                return og.extract_occupied_points(
+                    st, cfg, origin, sp_.max_distance_range,
+                    out_capacity=ext_cap, with_overflow=True,
+                )
+        else:
+            def _ex(st, origin):
+                return vhm.extract(
+                    st, cfg, origin, sp_.max_distance_range,
+                    out_capacity=ext_cap, with_covs=False, with_overflow=True,
+                )
+        return _ex
+
+    def extract_fn_for(self, cfg, ext_cap: int):
+        """Jitted extraction-only program, cached per (capacity, ext_cap);
+        also fed by the growth-ladder precompile."""
+        key = (cfg.capacity, ext_cap)
+        fn = self._extract_cache.get(key)
+        if fn is None:
+            fn = jax.jit(self.make_extract_only(cfg, ext_cap))
+            self._extract_cache[key] = fn
+        return fn
 
     @property
     def map_config(self):
@@ -170,7 +213,7 @@ class Submap:
         LidarOdometry); ``version`` lets dependents notice growth re-jits.
         """
         self.insert_extract_fn = self.make_insert_extract(self.map_config)
-        cached = self._prebuilt_ie.get(self.map_capacity)
+        cached = self._prebuilt_ie.get((self.map_capacity, self.extract_capacity))
         self._insert_extract = (
             cached if cached is not None else jax.jit(self.insert_extract_fn)
         )
@@ -186,16 +229,102 @@ class Submap:
             self._grow_cache[cfg.capacity] = fn
         return fn
 
-    def _grow_map(self):
+    def extract_tier_for(self, map_capacity: int) -> int:
+        """The extract capacity the tiering policy pairs with a map capacity:
+        the base budget scaled by the same growth factor as the map.  Never
+        shrinks (program shapes only ever widen — below the current tier a
+        direct overflow-triggered growth may already have passed it)."""
+        if not self._extract_growth:
+            return self.extract_capacity
+        tier = max(
+            self.params.submap.extract_capacity,
+            map_capacity // self._extract_ratio,
+        )
+        return max(tier, self.extract_capacity)
+
+    def _grow_map(self, reextract: bool = True):
         """Double the map capacity in place (reference rehash policy,
-        voxel_hash_map.hpp:847-934) and re-jit the per-keyframe kernels."""
+        voxel_hash_map.hpp:847-934) and re-jit the per-keyframe kernels.
+        The extract capacity tiers up with it (extract_tier_for); when the
+        tier changes, the submap target is re-extracted at the new shape so
+        the fused per-frame programs (whose ``submap_prev`` operand shape is
+        the extraction budget) stay consistent.  Callers whose own loop
+        re-runs an extraction right after pass ``reextract=False``."""
         cfg = self.map_config
         self.map_state = self.grow_fn_for(cfg)(self.map_state)
         if self.is_occupancy:
             self.og_config = self.peek_grown_config()
         else:
             self.vhm_config = self.peek_grown_config()
+        old_ext = self.extract_capacity
+        self.extract_capacity = self.extract_tier_for(self.map_capacity)
         self._rebuild_insert_extract()
+        if reextract and self.extract_capacity != old_ext and self.submap_cloud is not None:
+            self._reextract_target(self.last_keyframe_pose)
+
+    def grow_extract_capacity(self) -> None:
+        """Double the extraction budget directly (overflow-triggered backstop
+        for when the in-range voxel count outgrows the tier without the map
+        itself growing) and re-jit the per-keyframe kernels."""
+        self.extract_capacity = self.extract_capacity * 2
+        self._rebuild_insert_extract()
+
+    def _reextract_target(self, origin) -> None:
+        """Re-extract the submap target from the committed map state at the
+        CURRENT extract capacity and rebuild the correspondence structure
+        (slow path: one device sync).  When the extraction comes up short of
+        ``min_num_points``, the previous target is kept, mask-padded to the
+        new capacity, so program shapes still match."""
+        origin = np.asarray(origin, np.float32)
+        if origin.shape == (4, 4):
+            origin = origin[:3, 3]
+        ex = self.extract_fn_for(self.map_config, self.extract_capacity)
+        extracted, overflow = ex(self.map_state, jnp.asarray(origin))
+        self.extract_overflow = int(overflow)
+        if (
+            int(extracted.count()) >= self.params.registration.min_num_points
+            or self.submap_cloud is None
+        ):
+            target = PointCloud(points=extracted.points, mask=extracted.mask)
+        else:
+            prev = self.submap_cloud
+            pad = self.extract_capacity - prev.capacity
+            if pad < 0:  # capacities never shrink, but stay safe
+                target = PointCloud(points=extracted.points, mask=extracted.mask)
+            else:
+                target = PointCloud(
+                    points=jnp.concatenate(
+                        [prev.points, jnp.zeros((pad, 3), prev.points.dtype)]
+                    ),
+                    mask=jnp.concatenate(
+                        [prev.mask, jnp.zeros((pad,), prev.mask.dtype)]
+                    ),
+                )
+        self.submap_cloud = self._finalize_target(target)
+        self.submap_knn = build_target_knn(
+            self.submap_cloud,
+            max_correspondence_distance=(
+                self.params.registration.factor.max_correspondence_distance
+            ),
+        )
+
+    def resolve_extract_overflow(self, origin, max_grow: int = 6) -> bool:
+        """Slow path: the latest extraction overflowed its budget — grow the
+        extract capacity and RE-extract the submap target from the committed
+        map state around ``origin`` (a [3] position or [4,4] pose) until the
+        in-range set fits.  Re-jits the fused per-frame programs via the
+        version bump; host syncs here are fine (once per tier).  Returns
+        True when the target was rebuilt."""
+        if not self._extract_growth or self.extract_overflow <= 0:
+            return False
+        changed = False
+        for _ in range(max_grow):
+            if self.extract_overflow <= 0 or self.extract_capacity >= self.map_capacity:
+                break
+            self.grow_extract_capacity()
+            self._reextract_target(origin)
+            changed = True
+        return changed
 
     @property
     def map_capacity(self) -> int:
@@ -283,12 +412,10 @@ class Submap:
                 or attempt == max_grow
             ):
                 break
-            self._grow_map()
+            self._grow_map(reextract=False)
         self.map_state = new_state
         self.extract_overflow = int(extract_overflow)
         self.budget_lost = int(new_state.budget_lost)
-        if float(load) > 0.7:
-            self._grow_map()
 
         if is_first_frame:
             target = self._first_target(cloud, pose_j)
@@ -307,6 +434,10 @@ class Submap:
                 self.params.registration.factor.max_correspondence_distance
             ),
         )
+        if not is_first_frame and self.extract_overflow > 0:
+            self.resolve_extract_overflow(np.asarray(pose))
+        if float(load) > 0.7:
+            self._grow_map()
 
     def retry_insert_after_drop(self, sampled: PointCloud, pose_np,
                                 grow_first: bool = True) -> None:
@@ -324,7 +455,7 @@ class Submap:
         max_grow = 8
         for attempt in range(max_grow):
             if grow_first or attempt > 0:
-                self._grow_map()
+                self._grow_map(reextract=False)
             new_state, extracted, load, overflow = self._insert_extract(
                 self.map_state, sampled, pose_j
             )
@@ -345,11 +476,20 @@ class Submap:
                     self.params.registration.factor.max_correspondence_distance
                 ),
             )
+        elif (
+            self.submap_cloud is not None
+            and self.submap_cloud.capacity != self.extract_capacity
+        ):
+            # extraction too small but the tier changed: pad the kept target
+            # so the fused program shapes stay consistent
+            self._reextract_target(pose_np)
+        if self.extract_overflow > 0:
+            self.resolve_extract_overflow(pose_np)
         if float(load) > 0.7:
             self._grow_map()
 
     # -- pipelined drop-retry reconcile (fused) ------------------------------
-    def make_reapply_chain(self, cfg, window: int):
+    def make_reapply_chain(self, cfg, window: int, ext_cap: Optional[int] = None):
         """Traceable: re-apply a fixed-size window of stashed keyframe
         inserts (oldest first) to a map state, then extract once around the
         newest pose — the pipelined drop-retry reconcile fused into ONE
@@ -363,6 +503,7 @@ class Submap:
         for real inserts, matching the sequential semantics.
         """
         sp_ = self.params.submap
+        ext = self.extract_capacity if ext_cap is None else ext_cap
         is_occ = self.is_occupancy
 
         def _insert_one(st, cl, pose):
@@ -400,13 +541,13 @@ class Submap:
             if is_occ:
                 extracted, overflow = og.extract_occupied_points(
                     ns, cfg, origin, sp_.max_distance_range,
-                    out_capacity=sp_.extract_capacity, with_overflow=True,
+                    out_capacity=ext, with_overflow=True,
                 )
                 load = og.load_factor(ns, cfg)
             else:
                 extracted, overflow = vhm.extract(
                     ns, cfg, origin, sp_.max_distance_range,
-                    out_capacity=sp_.extract_capacity, with_covs=False,
+                    out_capacity=ext, with_covs=False,
                     with_overflow=True,
                 )
                 load = vhm.load_factor(ns, cfg)
@@ -414,13 +555,14 @@ class Submap:
 
         return _chain
 
-    def chain_fn_for(self, cfg, window: int):
-        """Jitted reapply-chain program, cached per (capacity, window);
-        also fed by the growth-ladder precompile."""
-        key = (cfg.capacity, window)
+    def chain_fn_for(self, cfg, window: int, ext_cap: Optional[int] = None):
+        """Jitted reapply-chain program, cached per (capacity, window,
+        extract capacity); also fed by the growth-ladder precompile."""
+        ext = self.extract_capacity if ext_cap is None else ext_cap
+        key = (cfg.capacity, window, ext)
         fn = self._chain_cache.get(key)
         if fn is None:
-            fn = jax.jit(self.make_reapply_chain(cfg, window))
+            fn = jax.jit(self.make_reapply_chain(cfg, window, ext))
             self._chain_cache[key] = fn
         return fn
 
@@ -452,7 +594,7 @@ class Submap:
         max_grow = 8
         for attempt in range(max_grow + 1):
             if grow_first or attempt > 0:
-                self._grow_map()
+                self._grow_map(reextract=False)
             chain = self.chain_fn_for(self.map_config, window)
             ns, extracted, load, overflow = chain(
                 self.map_state, clouds_t, poses_t, valid
@@ -474,6 +616,13 @@ class Submap:
                     self.params.registration.factor.max_correspondence_distance
                 ),
             )
+        elif (
+            self.submap_cloud is not None
+            and self.submap_cloud.capacity != self.extract_capacity
+        ):
+            self._reextract_target(np.asarray(poses[W - 1]))
+        if self.extract_overflow > 0:
+            self.resolve_extract_overflow(np.asarray(poses[W - 1]))
         if float(load) > 0.7:
             self._grow_map()
 

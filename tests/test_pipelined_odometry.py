@@ -141,18 +141,20 @@ def test_growth_precompile_swaps_in_prebuilt():
     _run(pl, world, poses)
 
     # the background thread publishes the next capacity's compiled program
+    # (keyed by (map capacity, extract tier))
     next_cap = pl.submap.map_capacity * 2
+    next_key = (next_cap, pl.submap.extract_tier_for(next_cap))
     deadline = _time.time() + 120
     while _time.time() < deadline:
-        if next_cap in getattr(pl, "_prebuilt_submap", {}):
+        if next_key in getattr(pl, "_prebuilt_submap", {}):
             break
         _time.sleep(0.5)
-    assert next_cap in pl._prebuilt_submap, "precompile never landed"
+    assert next_key in pl._prebuilt_submap, "precompile never landed"
 
     # growth must swap in the prebuilt jit, and the pipeline keeps working
     pl.submap._grow_map()
     pl._build_submap_step()
-    assert pl._submap_step_jit is pl._prebuilt_submap[next_cap]
+    assert pl._submap_step_jit is pl._prebuilt_submap[next_key]
     more = _trajectory(6)[4:]
     for j, T_true in enumerate(more):
         pts = scan_at(world, T_true)

@@ -311,22 +311,27 @@ def test_growth_ladder_precompile_and_jit_cached_grow():
     odo.process(PointCloud.from_numpy(scan_at(world, T2)), timestamp=0.1)
 
     cap0 = odo.submap.map_capacity
+    ext0 = odo.submap.extract_capacity
     steps = odo.precompile_growth(max_capacity=cap0 * 8, wait=True)
     assert steps == 3
     sm = odo.submap
     assert set(sm._grow_cache) >= {cap0, cap0 * 2, cap0 * 4}
-    assert set(sm._prebuilt_ie) >= {cap0 * 2, cap0 * 4, cap0 * 8}
-    assert set(odo._prebuilt_submap) >= {cap0 * 2, cap0 * 4, cap0 * 8}
+    # prebuilt programs are keyed (map capacity, extract tier)
+    tiers = {c: sm.extract_tier_for(c) for c in (cap0 * 2, cap0 * 4, cap0 * 8)}
+    assert set(sm._prebuilt_ie) >= {(c, e) for c, e in tiers.items()}
+    assert set(odo._prebuilt_submap) >= {(c, e) for c, e in tiers.items()}
 
     # growth must consume the published programs (identity check), keep the
     # state/config capacities in lockstep, and lose nothing
-    prebuilt_ie = sm._prebuilt_ie[cap0 * 2]
+    prebuilt_ie = sm._prebuilt_ie[(cap0 * 2, tiers[cap0 * 2])]
     sm._grow_map()
     assert sm.map_capacity == cap0 * 2
     assert sm.map_state.used.shape[0] == cap0 * 2
     assert sm._insert_extract is prebuilt_ie
     odo._build_submap_step()
-    assert odo._submap_step_jit is odo._prebuilt_submap[cap0 * 2]
+    assert odo._submap_step_jit is odo._prebuilt_submap[
+        (cap0 * 2, sm.extract_capacity)
+    ]
 
     # the pipeline still runs end-to-end after the manual growth
     T3 = T.copy()
