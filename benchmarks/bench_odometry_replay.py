@@ -53,6 +53,7 @@ def make_params(args, poses, map_capacity):
 
     from sycl_points_tpu.pipeline.params import (
         RegistrationBlockParams,
+        SubmapOccupancyGridParams,
     )
     from sycl_points_tpu.registration.pipeline import RandomSamplingParams
     from sycl_points_tpu.registration.registration import RegistrationParams
@@ -75,9 +76,13 @@ def make_params(args, poses, map_capacity):
         ),
         submap=SubmapParams(map_type=args.map_type, voxel_size=args.map_voxel,
                             map_capacity=map_capacity,
-                            point_random_sampling_num=args.kf_points),
+                            point_random_sampling_num=args.kf_points,
+                            occupancy_grid_map=SubmapOccupancyGridParams(
+                                free_space_update_cycle=args.og_carve_cycle,
+                            )),
         registration=RegistrationBlockParams(factor=factor),
         registration_sampling=reg_sampling,
+        scan_capacity=max(1 << 13, pad_capacity_for(args.scan_points)),
         pose=PoseParams(initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())),
         lo_velocity_update=VelocityUpdateParams(
             enable=bool(args.distort and args.deskew == "on")
@@ -137,6 +142,28 @@ def run_replay(args, poses, scans_np, stamps_np, map_capacity,
         jax.device_get(trivial(ones8))
         floors.append(time.perf_counter() - t0)
     link_floor_ms = float(np.median(floors)) * 1e3
+
+    # Bootstrap ladder: the first insert can itself hit drop-retry growth
+    # (deliberately small initial capacity) before any frame has been
+    # dispatched — compile the grow/insert/extract tiers up front so frame 0
+    # swaps programs instead of paying eager compiles.
+    boot_precompile_s = None
+    if precompile_growth:
+        from sycl_points_tpu.pipeline.fused_submap import precompile_bootstrap_ladder
+
+        t0 = time.perf_counter()
+        cloud0 = PointCloud.from_numpy(
+            scans_np[0], timestamp_offsets=stamps_np[0], capacity=raw_cap
+        )
+        pre0 = odo.pc_processor.prefilter(cloud0)
+        if odo._needs_covariances():
+            ctx0 = odo.pc_processor.prepare_context(pre0)
+            pre0 = odo.pc_processor.compute_covariances(pre0, ctx0)
+            pre0 = odo.pc_processor.refine_filter(pre0, ctx0)
+        steps0 = precompile_bootstrap_ladder(odo, precompile_growth, pre0)
+        boot_precompile_s = round(time.perf_counter() - t0, 1)
+        print(f"bootstrap ladder: {steps0} tiers precompiled in "
+              f"{boot_precompile_s} s", file=sys.stderr, flush=True)
 
     stage_sums = {}
     frame_times = []
@@ -218,10 +245,12 @@ def run_replay(args, poses, scans_np, stamps_np, map_capacity,
                        "kf_points": args.kf_points,
                        "pipelined": args.pipelined,
                        "distort": args.distort, "deskew": args.deskew,
+                       "og_carve_cycle": args.og_carve_cycle,
                        "scan_points": args.scan_points,
                        "reg_sampling": args.reg_sampling,
                        "coarse_to_fine": args.coarse_to_fine,
-                       "growth_precompile_s": precompile_s},
+                       "growth_precompile_s": precompile_s,
+                       "bootstrap_precompile_s": boot_precompile_s},
         "frames_ok": n_ok,
         "map_type": params.submap.map_type,
         "raw_points_per_scan": int(raw_cap),
@@ -280,6 +309,10 @@ def main():
                     help="with --distort: enable the VICP constant-velocity "
                          "deskew inside registration (velocity_update.hpp:"
                          "17-109); 'off' quantifies the uncorrected damage")
+    ap.add_argument("--og-carve-cycle", type=int, default=1,
+                    help="occupancy backend: carve free space every k-th "
+                         "frame, hits every frame (reference update knobs, "
+                         "occupancy_grid_map.hpp:1072-1235)")
     ap.add_argument("--scan-points", type=int, default=5000,
                     help="preprocess random-downsampling target (raise for "
                          "full-cloud tiers)")

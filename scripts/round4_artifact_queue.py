@@ -63,6 +63,15 @@ JOBS = [
     ("replay_pl_og", "benchmarks/bench_odometry_replay.py",
      ["--map-type", "OCCUPANCY_GRID_MAP", "--pipelined",
       "--json", "benchmarks/REPLAY_PL_OG_r4.json"]),
+    # ask 8: carve-on-cycle at the pipeline level (same replay, cycle=2)
+    ("replay_og_c2", "benchmarks/bench_odometry_replay.py",
+     ["--map-type", "OCCUPANCY_GRID_MAP", "--og-carve-cycle", "2",
+      "--json", "benchmarks/REPLAY_OG_C2_r4.json"]),
+    # ask 9: coarse-to-fine through the PIPELINE params at a full-cloud tier
+    ("replay_fullcloud_c2f", "benchmarks/bench_odometry_replay.py",
+     ["--scan-points", "30000", "--reg-sampling", "0",
+      "--coarse-to-fine", "20", "--frames", "30", "--warmup", "5",
+      "--json", "benchmarks/REPLAY_FULLCLOUD_C2F_r4.json"]),
     # ask 7: fleet with per-result-type histograms
     ("fleet", "benchmarks/bench_fleet.py",
      ["--streams", "8", "--frames", "40",

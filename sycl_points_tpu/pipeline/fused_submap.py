@@ -330,6 +330,68 @@ def start_growth_precompile(
     _spawn_precompile(work, "growth-precompile")
 
 
+def precompile_bootstrap_ladder(pipeline, max_capacity: int, pre_cloud) -> int:
+    """Compile the grow + insert_extract + extract programs for every map
+    capacity tier BEFORE the first frame.  The bootstrap insert
+    (``Submap.add_first_frame``) can itself trigger drop-retry growth when
+    the initial capacity is deliberately small, and at that point no frame
+    has been dispatched yet — the full ladder (``precompile_growth_ladder``)
+    cannot run, so frame 0 paid eager grow/insert compiles (the r3 growth
+    replay's 4.9 s frame-0 event).  This needs only an example PREPROCESSED
+    cloud (or its shape struct) for the sampled-cloud signature; the fused
+    per-frame programs still compile via the ladder after frame 1."""
+    import dataclasses as _dc
+
+    submap = pipeline.submap
+    if submap.is_occupancy:
+        from sycl_points_tpu.mapping import occupancy_grid as _m
+    else:
+        from sycl_points_tpu.mapping import voxel_hash_map as _m
+    pre_struct = _struct(pre_cloud)
+    sampled = _sampled_struct(pipeline.params, pre_struct)
+    pose = jax.ShapeDtypeStruct((4, 4), jnp.float32)
+    cfg = submap.map_config
+
+    # Frame 0's own programs (sampler, initial-capacity insert+extract,
+    # first-target compaction, covariance finalize): compile them here too,
+    # so the bootstrap frame executes instead of compiling.
+    state0 = jax.eval_shape(lambda: _m.create(cfg))
+    key_struct = jax.eval_shape(lambda: jax.random.key(0))
+    submap._sample_uniform.lower(pre_struct, key_struct).compile()
+    submap._insert_extract.lower(state0, sampled, pose).compile()
+    submap.first_target_fn_for(submap.extract_capacity).lower(
+        pre_struct, pose
+    ).compile()
+    if submap._need_covs or submap._need_normals:
+        raw_target = PointCloud(
+            points=jax.ShapeDtypeStruct((submap.extract_capacity, 3), jnp.float32),
+            mask=jax.ShapeDtypeStruct((submap.extract_capacity,), jnp.bool_),
+        )
+        submap._finalize_jit.lower(raw_target).compile()
+
+    n = 0
+    while cfg.capacity < max_capacity:
+        state_struct = jax.eval_shape(lambda _c=cfg: _m.create(_c))
+        submap.grow_fn_for(cfg).lower(state_struct).compile()
+        next_cfg = _dc.replace(cfg, capacity=cfg.capacity * 2)
+        next_ext = submap.extract_tier_for(next_cfg.capacity)
+        next_state = jax.eval_shape(lambda _c=next_cfg: _m.create(_c))
+        key = (next_cfg.capacity, next_ext)
+        iefn = submap._prebuilt_ie.get(key)
+        if iefn is None:
+            iefn = jax.jit(submap.make_insert_extract(next_cfg, next_ext))
+            submap._prebuilt_ie[key] = iefn
+        iefn.lower(next_state, sampled, pose).compile()
+        exfn = submap._extract_cache.get(key)
+        if exfn is None:
+            exfn = jax.jit(submap.make_extract_only(next_cfg, next_ext))
+            submap._extract_cache[key] = exfn
+        exfn.lower(next_state, jax.ShapeDtypeStruct((3,), jnp.float32)).compile()
+        cfg = next_cfg
+        n += 1
+    return n
+
+
 def precompile_growth_ladder(pipeline, max_capacity: int, wait: bool = True) -> int:
     """Deployment warm-start: compile EVERY growth step from the current map
     capacity up to ``max_capacity`` (grow + insert_extract + fused submap

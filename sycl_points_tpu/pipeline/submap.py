@@ -118,13 +118,24 @@ class Submap:
         # First-frame target is normalized to the same attribute structure as
         # later map extractions (points + mask only, before finalize): a
         # structure change between frame 1 and 2 would retrace the cached
-        # align program.
-        def _first(cl, pose):
-            c = transform_cloud(compact_device(cl, out_capacity=self.extract_capacity), pose)
-            return PointCloud(points=c.points, mask=c.mask)
-
-        self._first_target = jax.jit(_first)
+        # align program.  Cached per extract tier — bootstrap growth can
+        # tier the extraction budget up before the first target is built.
+        self._first_cache: dict = {}
         self._finalize_jit = jax.jit(self.finalize_traced)
+
+    def first_target_fn_for(self, ext_cap: int):
+        fn = self._first_cache.get(ext_cap)
+        if fn is None:
+            def _first(cl, pose):
+                c = transform_cloud(compact_device(cl, out_capacity=ext_cap), pose)
+                return PointCloud(points=c.points, mask=c.mask)
+
+            fn = jax.jit(_first)
+            self._first_cache[ext_cap] = fn
+        return fn
+
+    def _first_target(self, cl, pose):
+        return self.first_target_fn_for(self.extract_capacity)(cl, pose)
 
     # ------------------------------------------------------------------
     def make_insert_extract(self, cfg, ext_cap: Optional[int] = None):
