@@ -134,6 +134,11 @@ def _struct(tree):
     )
 
 
+# Background growth precompile fires only once the map load is within reach
+# of the 0.7 growth threshold — idle-map streams must not pay CPU for
+# speculative compiles of tiers they will never visit.
+GROWTH_PRECOMPILE_LOAD_GATE = 0.35
+
 # In-flight precompile threads, joined at interpreter exit: a daemon thread
 # killed inside a PJRT compile aborts the whole process ("terminate called
 # ... FATAL: exception not rethrown") during teardown.
@@ -285,13 +290,21 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
 
 def start_growth_precompile(
     pipeline, robust_scale, call_args, steps_ahead: int = 2,
-    enabled: bool = True,
+    enabled: bool = True, load: Optional[float] = None,
 ) -> None:
     """Compile the next ``steps_ahead`` map capacities' growth programs in a
     background daemon thread, so a growth event swaps in ready executables
     instead of stalling the frame stream for 15-30 s recompiles.  Two steps
     ahead because a drop-retry can double the capacity twice within one
     frame (probe exhaustion recurring after the first doubling).
+
+    ``load`` is the latest observed map load factor: below
+    ``GROWTH_PRECOMPILE_LOAD_GATE`` growth is far away and the background
+    compiles (which now include the registration-step retrace at the grown
+    extract tier — a 30-60 s compile) would steal host CPU from the frame
+    stream for nothing, so scheduling is deferred.  ``None`` (load unknown)
+    also defers — growth-heavy deployments warm the ladder explicitly
+    (``precompile_growth_ladder`` / ``precompile_bootstrap_ladder``).
 
     ``call_args`` are the concrete arguments of a just-dispatched submap
     step — their shapes/dtypes (with the map state swapped for the grown
@@ -309,6 +322,8 @@ def start_growth_precompile(
     # recorded even when the background thread is disabled
     pipeline._growth_precompile_ctx = (robust_scale, arg_structs)
     if not enabled:
+        return
+    if load is None or load < GROWTH_PRECOMPILE_LOAD_GATE:
         return
     cfg = submap.map_config
     caps = [

@@ -103,6 +103,7 @@ class LidarInertialOdometry:
         self.sync_count_last_frame = 0
         self._key = jax.random.key(99)
         self._dropped_seen = 0
+        self._last_load: float | None = None  # growth-precompile gate
         # host mirrors of the device filter state (refreshed by the fused
         # stats fetch; used by the host-side deskew path)
         self.gyro_bias_np = np.asarray(params.imu.gyro_bias, np.float32)
@@ -403,7 +404,8 @@ class LidarInertialOdometry:
         )
         new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
         start_growth_precompile(self, None, submap_args,
-                                enabled=self.growth_precompile)
+                                enabled=self.growth_precompile,
+                                load=self._last_load)
 
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -419,6 +421,7 @@ class LidarInertialOdometry:
         self.accel_bias_np = stats[28:31].astype(np.float32)
         self.velocity_np = stats[31:34].astype(np.float32)
         load, overflow, ext_ok, dropped, budget_lost, n_extracted = stats[_S1:_S1 + 6]
+        self._last_load = float(load)
 
         if finite_ok < 0.5:
             self.error_message = "imu-only propagation produced non-finite state or covariance"

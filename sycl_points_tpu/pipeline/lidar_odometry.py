@@ -110,6 +110,7 @@ class LidarOdometry:
         self._prev_Hraw_np: Optional[np.ndarray] = None
         self._prev_inlier = 0
         self._dropped_seen = 0
+        self._last_load: Optional[float] = None  # growth-precompile gate
 
         # IMU machinery
         self.imu_buffer: deque = deque()
@@ -452,7 +453,8 @@ class LidarOdometry:
         )
         new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
         start_growth_precompile(self, self._submap_robust_scale, submap_args,
-                                enabled=self.growth_precompile)
+                                enabled=self.growth_precompile,
+                                load=self._last_load)
 
         # ---- THE one fused device->host readback ---------------------------
         self.processing_times["4a. submap dispatch"] += time.perf_counter() - t0
@@ -467,6 +469,7 @@ class LidarOdometry:
          converged, iterations, error) = stats[16:25]
         H_raw_np = stats[25:61].reshape(6, 6).astype(np.float32)
         load, overflow, ext_ok, dropped, budget_lost, n_extracted = stats[_S1:_S1 + 6]
+        self._last_load = float(load)
 
         if small_flag > 0.5:
             self.error_message = "point cloud size is too small"

@@ -284,7 +284,8 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
         )
         new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
         start_growth_precompile(self, None, submap_args,
-                                enabled=self.growth_precompile)
+                                enabled=self.growth_precompile,
+                                load=self._last_load)
         self.submap.map_state = new_map_state
         self.submap.submap_cloud = new_submap
         self.submap.submap_knn = BruteForceKNN(
@@ -325,6 +326,7 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
         self.velocity_np = stats[31:34].astype(np.float32)
         load, overflow, ext_ok, dropped, budget_lost, n_extracted = \
             stats[_S1:_S1 + 6]
+        self._last_load = float(load)
 
         if finite_ok < 0.5:
             rtype = ResultType.error

@@ -328,7 +328,8 @@ class PipelinedLidarOdometry(LidarOdometry):
         )
         new_map_state, new_submap, sampled, s2 = self._submap_step_jit(*submap_args)
         start_growth_precompile(self, self._submap_robust_scale, submap_args,
-                                enabled=self.growth_precompile)
+                                enabled=self.growth_precompile,
+                                load=self._last_load)
         # commit device handles (no sync)
         self.submap.map_state = new_map_state
         self.submap.submap_cloud = new_submap
@@ -372,6 +373,7 @@ class PipelinedLidarOdometry(LidarOdometry):
         H_raw_np = stats[25:61].reshape(6, 6).astype(np.float32)
         load, overflow, ext_ok, dropped, budget_lost, n_extracted = \
             stats[_S1:_S1 + 6]
+        self._last_load = float(load)
 
         if small_flag > 0.5:
             rtype = ResultType.small_number_of_points

@@ -132,13 +132,24 @@ def test_pipelined_rejects_imu():
 
 
 @pytest.mark.slow
-def test_growth_precompile_swaps_in_prebuilt():
+def test_growth_precompile_swaps_in_prebuilt(monkeypatch):
     import time as _time
 
+    from sycl_points_tpu.pipeline import fused_submap
+
+    # the background precompile is load-gated (idle maps must not pay
+    # speculative compiles); force it on for this test
+    monkeypatch.setattr(fused_submap, "GROWTH_PRECOMPILE_LOAD_GATE", 0.0)
+
     world = make_world()
-    poses = _trajectory(4)
+    poses = _trajectory(5)
     pl = PipelinedLidarOdometry(small_params())
-    _run(pl, world, poses)
+    _run(pl, world, poses[:4])
+    # the dispatch-time load mirror is only set once a frame has RESOLVED:
+    # one more frame after the flush carries it and schedules the precompile
+    pts = scan_at(world, poses[4])
+    r = pl.process(PointCloud.from_numpy(pts), timestamp=0.4)
+    assert r is ResultType.success
 
     # the background thread publishes the next capacity's compiled program
     # (keyed by (map capacity, extract tier))
@@ -155,10 +166,10 @@ def test_growth_precompile_swaps_in_prebuilt():
     pl.submap._grow_map()
     pl._build_submap_step()
     assert pl._submap_step_jit is pl._prebuilt_submap[next_key]
-    more = _trajectory(6)[4:]
+    more = _trajectory(7)[5:]
     for j, T_true in enumerate(more):
         pts = scan_at(world, T_true)
-        r = pl.process(PointCloud.from_numpy(pts), timestamp=0.1 * (4 + j))
+        r = pl.process(PointCloud.from_numpy(pts), timestamp=0.1 * (5 + j))
         assert r is ResultType.success
     pl.flush()
     assert int(pl.submap.map_state.dropped) == 0

@@ -190,6 +190,28 @@ def test_carve_cycle_skips_off_cycle_frames():
     assert misses(st2) == pytest.approx(misses(st1) / 2.0)
 
 
+def test_growth_precompile_load_gate():
+    """Background growth precompile must not fire on an idle map (it now
+    includes the registration-step retrace — a large compile that steals
+    host CPU from the frame stream)."""
+    from tests.test_lidar_odometry import make_world, scan_at, small_params
+    from sycl_points_tpu.pipeline import fused_submap
+    from sycl_points_tpu.pipeline.lidar_odometry import LidarOdometry
+
+    lo = LidarOdometry(small_params())
+    world = make_world(n=1500)
+    T = np.eye(4, dtype=np.float32)
+    for i in range(3):
+        T2 = T.copy()
+        T2[0, 3] = 0.3 * i
+        lo.process(PointCloud.from_numpy(scan_at(world, T2)), timestamp=0.1 * i)
+    # load is far below the gate: nothing scheduled, ctx still recorded
+    assert lo._last_load is not None
+    assert lo._last_load < fused_submap.GROWTH_PRECOMPILE_LOAD_GATE
+    assert not getattr(lo, "_prebuilt_started", set())
+    assert getattr(lo, "_growth_precompile_ctx", None) is not None
+
+
 def test_yaml_plumbs_coarse_to_fine():
     """The coarse-to-fine knob reaches the pipeline through the YAML tree
     (registration.factor.*) — round-3 verdict weak #8: it was bench-only."""
