@@ -60,6 +60,17 @@ def main():
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=8)
     ap.add_argument("--imu-hz", type=int, default=400)
+    ap.add_argument("--speed", type=float, default=0.35,
+                    help="figure-8 speed [m/frame]; higher = stronger "
+                         "per-scan motion distortion in --distort mode")
+    ap.add_argument("--gyro-bias-rw", type=float, default=1e-5,
+                    help="gyro bias random-walk density [rad/s^2/sqrt(Hz)]; "
+                         "the bias prior stiffness — with injected TRUE "
+                         "bias, raise it so the filter is ALLOWED to adapt "
+                         "at a realistic rate (reference random-walk knob, "
+                         "lidar_inertial_odometry_params.hpp:35-52)")
+    ap.add_argument("--accel-bias-rw", type=float, default=1e-4,
+                    help="accel bias random-walk density [m/s^3/sqrt(Hz)]")
     ap.add_argument("--json", default=None)
     ap.add_argument("--rings", type=int, default=64)
     ap.add_argument("--az", type=int, default=2048)
@@ -94,7 +105,7 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 
     world = World()
-    poses = figure8_trajectory(args.frames, speed=0.35)
+    poses = figure8_trajectory(args.frames, speed=args.speed)
     frame_dt = 0.1
     params = LidarInertialOdometryParams(
         scan=ScanParams(
@@ -111,7 +122,8 @@ def main():
         # update (reference configs ship nonzero values)
         imu=IMUParams(enable=True, preintegration=IMUPreintegrationParams(
             gyro_noise_density=1e-3, accel_noise_density=1e-2,
-            gyro_bias_rw_density=1e-5, accel_bias_rw_density=1e-4,
+            gyro_bias_rw_density=args.gyro_bias_rw,
+            accel_bias_rw_density=args.accel_bias_rw,
         ), deskew=IMUDeskewParams(
             enable=bool(args.distort and args.deskew == "on"),
         )),
@@ -136,6 +148,7 @@ def main():
     raw_cap = pad_capacity_for(args.az * args.rings)
 
     scans_np, stamps_np = [], []
+    sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
     for i, T in enumerate(poses):
         if args.distort:
             if i + 1 < len(poses):
@@ -144,12 +157,12 @@ def main():
                 T_end = poses[i] @ (np.linalg.inv(poses[i - 1]) @ poses[i])
             pts, t_ms = scan_at_distorted(
                 world, T, T_end, n_az=args.az, n_rings=args.rings, seed=i,
-                cache_tag=f"replay_dist_{args.az}x{args.rings}_{i}",
+                cache_tag=f"replay_dist_{args.az}x{args.rings}{sp_tag}_{i}",
             )
             stamps_np.append(t_ms)
         else:
             pts = scan_at(world, T, n_az=args.az, n_rings=args.rings, seed=i,
-                          cache_tag=f"replay_{args.az}x{args.rings}_{i}")
+                          cache_tag=f"replay_{args.az}x{args.rings}{sp_tag}_{i}")
             stamps_np.append(None)
         scans_np.append(pts)
     print(f"{len(scans_np)} scans generated", file=sys.stderr, flush=True)
@@ -170,7 +183,7 @@ def main():
         n = max(int(round((t_to - t_from) * args.imu_hz)), 1)
         for k in range(n + 1):
             t = t_from + (t_to - t_from) * k / n
-            g, a = figure8_imu(t)
+            g, a = figure8_imu(t, speed=args.speed)
             # the sensor reads TRUE motion + bias; the filter must estimate
             # and subtract the injected bias
             odo.add_imu_measurement(IMUMeasurement(

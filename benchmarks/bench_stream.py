@@ -119,6 +119,11 @@ def main():
                     if len(arrivals) % 10 == 0:
                         print(f"poses: {len(arrivals)}/{expected}",
                               file=sys.stderr, flush=True)
+                elif msg.msg_type == sp.MSG_STATUS:
+                    # per-frame server errors must be VISIBLE, not silently
+                    # eaten while the closed-loop sender waits out deadlines
+                    print(f"status: {msg.payload[:300]!r}",
+                          file=sys.stderr, flush=True)
         finally:
             done.set()
 

@@ -23,27 +23,47 @@ JOBS = [
      ["--json", "benchmarks/REPLAY_r4.json"]),
     ("replay_pl", "benchmarks/bench_odometry_replay.py",
      ["--pipelined", "--json", "benchmarks/REPLAY_PL_r4.json"]),
-    # ask 2: motion-distorted sequence evidence, deskew on vs off (LO/VICP)
+    # ask 2: motion-distorted sequence evidence, deskew on vs off (LO/VICP).
+    # Speed 0.7 m/frame puts the per-scan skew well above the 1 m map voxel
+    # (at the default 0.35 the distortion drowned in the discretization and
+    # the on/off ATEs were statistically indistinguishable — kept as the
+    # *_SLOW artifacts for the record).
     ("deskew_on", "benchmarks/bench_odometry_replay.py",
-     ["--distort", "--deskew", "on",
+     ["--distort", "--deskew", "on", "--speed", "0.7",
       "--json", "benchmarks/REPLAY_DESKEW_r4.json"]),
     ("deskew_off", "benchmarks/bench_odometry_replay.py",
-     ["--distort", "--deskew", "off",
+     ["--distort", "--deskew", "off", "--speed", "0.7",
       "--json", "benchmarks/REPLAY_DESKEW_OFF_r4.json"]),
+    ("deskew_on_slow", "benchmarks/bench_odometry_replay.py",
+     ["--distort", "--deskew", "on",
+      "--json", "benchmarks/REPLAY_DESKEW_SLOW_r4.json"]),
+    ("deskew_off_slow", "benchmarks/bench_odometry_replay.py",
+     ["--distort", "--deskew", "off",
+      "--json", "benchmarks/REPLAY_DESKEW_SLOW_OFF_r4.json"]),
     # ask 2: LIO with IMU deskew on distorted scans
     ("lio_deskew_on", "benchmarks/bench_lio_replay.py",
-     ["--distort", "--deskew", "on",
+     ["--distort", "--deskew", "on", "--speed", "0.7",
       "--json", "benchmarks/REPLAY_DESKEW_LIO_r4.json"]),
     ("lio_deskew_off", "benchmarks/bench_lio_replay.py",
-     ["--distort", "--deskew", "off",
+     ["--distort", "--deskew", "off", "--speed", "0.7",
       "--json", "benchmarks/REPLAY_DESKEW_LIO_OFF_r4.json"]),
     # ask 3: bias-free LIO baseline + injected-bias convergence
     ("lio", "benchmarks/bench_lio_replay.py",
      ["--json", "benchmarks/REPLAY_LIO_r4.json"]),
+    # rw densities raised so the bias prior lets the filter adapt at a
+    # realistic MEMS rate (the default 1e-5/1e-4 stiffness allows only
+    # ~3e-4 m/s^2 of accel-bias motion over the whole run)
     ("lio_bias", "benchmarks/bench_lio_replay.py",
-     ["--frames", "120",
+     ["--frames", "240",
       "--gyro-bias", "0.02,-0.01,0.015", "--accel-bias", "0.2,0.1,-0.15",
+      "--gyro-bias-rw", "1e-4", "--accel-bias-rw", "1e-2",
       "--json", "benchmarks/REPLAY_LIO_BIAS_r4.json"]),
+    # bias-free control at the SAME rw densities / length (the ATE-unchanged
+    # comparison must not mix prior stiffnesses)
+    ("lio_bias_control", "benchmarks/bench_lio_replay.py",
+     ["--frames", "240",
+      "--gyro-bias-rw", "1e-4", "--accel-bias-rw", "1e-2",
+      "--json", "benchmarks/REPLAY_LIO_BIAS_CTRL_r4.json"]),
     # asks 1+6+7: growth replays with ladder warm start, extract tiering,
     # and an ample-capacity oracle ATE control in the same artifact
     ("growth_sync", "benchmarks/bench_odometry_replay.py",
@@ -80,12 +100,14 @@ JOBS = [
      ["--streams", "8", "--frames", "40", "--lio",
       "--json", "benchmarks/FLEET_LIO_r4.json"]),
     # ask 4: the live-serving benchmark at three offered rates
+    # warmup 10: the first ~5 frames carry jit compiles whose end-to-end
+    # latencies would otherwise dominate the percentiles
     ("stream_closed", "benchmarks/bench_stream.py",
-     ["--hz", "0", "--json", "/tmp/stream_r4_closed.json"]),
+     ["--hz", "0", "--warmup", "10", "--json", "/tmp/stream_r4_closed.json"]),
     ("stream_20", "benchmarks/bench_stream.py",
-     ["--hz", "20", "--json", "/tmp/stream_r4_20.json"]),
+     ["--hz", "20", "--warmup", "10", "--json", "/tmp/stream_r4_20.json"]),
     ("stream_35", "benchmarks/bench_stream.py",
-     ["--hz", "35", "--json", "/tmp/stream_r4_35.json"]),
+     ["--hz", "35", "--warmup", "10", "--json", "/tmp/stream_r4_35.json"]),
     # ask 10 + 8: refreshed bench suite (configs 5/6 re-pinned; config 7
     # carries the carve cycle=2 number)
     ("bench_suite", "benchmarks/bench_suite.py",

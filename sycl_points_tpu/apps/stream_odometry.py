@@ -300,7 +300,16 @@ class OdometryStreamServer:
             msg = self._scan_q.pop()
             if msg is None:
                 if self.is_pipelined:
-                    # keep draining the in-flight window while idle
+                    # Idle with frames in flight: force-resolve the oldest
+                    # (blocking) — on the axon runtime async transfers make
+                    # no progress without a blocking pull, so an is_ready
+                    # poll alone would never publish the pending poses and
+                    # a closed-loop client would starve.  The chip is idle,
+                    # so the blocking fetch costs nothing it shouldn't.
+                    resolver = getattr(self.pipeline, "resolve_oldest", None)
+                    if resolver is not None:
+                        resolver()
+                    # then publish everything resolved so far
                     self._drain_pipelined()
                 if self._flush_requested.is_set() and not self._flushed.is_set():
                     self.flush()

@@ -145,38 +145,76 @@ def deskew_point_cloud_imu(
     if t_rel[-1] < scan_duration_sec - _MARGIN_SEC:
         return cloud, IMUDeskewStatus.insufficient_imu_coverage
 
-    dt, w0, w1, a0, a1, valid = pre.steps_from_window(window)
+    # Fixed-bucket padding so the device pass compiles once per
+    # (params, bucket, cloud shape) — the eager per-frame version paid
+    # compile/dispatch overhead EVERY frame on this runtime (measured
+    # 1.6 s/frame in the distorted LIO replay).  Padded steps carry dt=0 /
+    # valid=False, so the integrator holds state and the padded trajectory
+    # tail repeats the final pose; t_rel pads with its last value, which
+    # searchsorted resolves to the same pose (exact interpolation).
+    dt, w0, w1, a0, a1, valid = pre.padded_steps_from_window(window)
+    Sp = len(dt)
+    t_rel_p = np.concatenate(
+        [t_rel, np.full(Sp - len(t_rel), t_rel[-1], np.float32)]
+    )
     R0 = np.eye(3, dtype=np.float32) if R_world_body_i is None else np.asarray(R_world_body_i, np.float32)
     v0 = np.zeros(3, np.float32) if v_world_body_i is None else np.asarray(v_world_body_i, np.float32)
 
-    _, (dR_seq, dp_seq, dt_seq) = pre.integrate_steps_with_outputs(
-        preintegration_params, pre.init_state(),
-        jnp.asarray(dt), jnp.asarray(w0), jnp.asarray(w1),
+    key = (preintegration_params, bool(gyro_only))
+    fn = _DESKEW_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(_make_deskew_device_fn(preintegration_params, bool(gyro_only)))
+        _DESKEW_JIT_CACHE[key] = fn
+    out = fn(
+        cloud, jnp.asarray(dt), jnp.asarray(w0), jnp.asarray(w1),
         jnp.asarray(a0), jnp.asarray(a1), jnp.asarray(valid),
-        jnp.asarray(gyro_bias, dtype=jnp.float32), jnp.asarray(accel_bias, dtype=jnp.float32),
-        jnp.asarray(R0),
+        jnp.asarray(t_rel_p),
+        jnp.asarray(gyro_bias, dtype=jnp.float32),
+        jnp.asarray(accel_bias, dtype=jnp.float32),
+        jnp.asarray(R0), jnp.asarray(v0),
+        jnp.asarray(T_imu_to_lidar, jnp.float32),
     )
+    return out, IMUDeskewStatus.success
 
-    # Gravity + initial-velocity compensation per trajectory sample, exactly as
-    # predict_relative_transform (imu_deskew.hpp:248-262).
-    g = jnp.asarray(preintegration_params.gravity, jnp.float32)
-    Rt_g = jnp.asarray(R0).T @ g
-    Rt_v = jnp.asarray(R0).T @ jnp.asarray(v0)
-    if gyro_only:
-        dp_comp = jnp.zeros_like(dp_seq)
-    else:
-        dp_comp = dp_seq + 0.5 * Rt_g[None, :] * dt_seq[:, None] ** 2 + Rt_v[None, :] * dt_seq[:, None]
 
-    # IMU-frame relative pose -> LiDAR frame: T_l = T_il @ T_imu @ T_il^-1.
-    T_il = jnp.asarray(T_imu_to_lidar, jnp.float32)
-    R_il, t_il = T_il[:3, :3], T_il[:3, 3]
-    R_lidar = rotate_mat3(R_il, dR_seq)
-    t_lidar = matvec3(R_il, dp_comp) + t_il[None, :] - matvec3(R_lidar, t_il)
+_DESKEW_JIT_CACHE: dict = {}
 
-    traj_q = jnp.concatenate(
-        [jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), lie.matrix_to_quat(R_lidar)]
-    )
-    traj_t = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), t_lidar])
-    traj_ts = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.asarray(t_rel)])
 
-    return apply_trajectory(cloud, traj_q, traj_t, traj_ts), IMUDeskewStatus.success
+def _make_deskew_device_fn(params: pre.IMUPreintegrationParams, gyro_only: bool):
+    """Device pass of the IMU deskew: trajectory integration + per-point
+    correction as ONE jittable program (imu_deskew.hpp:123-419 device side)."""
+
+    def run(cloud, dt, w0, w1, a0, a1, valid, t_rel,
+            gyro_bias, accel_bias, R0, v0, T_il):
+        _, (dR_seq, dp_seq, dt_seq) = pre.integrate_steps_with_outputs(
+            params, pre.init_state(), dt, w0, w1, a0, a1, valid,
+            gyro_bias, accel_bias, R0,
+        )
+
+        # Gravity + initial-velocity compensation per trajectory sample,
+        # exactly as predict_relative_transform (imu_deskew.hpp:248-262).
+        g = jnp.asarray(params.gravity, jnp.float32)
+        Rt_g = R0.T @ g
+        Rt_v = R0.T @ v0
+        if gyro_only:
+            dp_comp = jnp.zeros_like(dp_seq)
+        else:
+            dp_comp = (
+                dp_seq
+                + 0.5 * Rt_g[None, :] * dt_seq[:, None] ** 2
+                + Rt_v[None, :] * dt_seq[:, None]
+            )
+
+        # IMU-frame relative pose -> LiDAR frame: T_l = T_il @ T_imu @ T_il^-1.
+        R_il, t_il = T_il[:3, :3], T_il[:3, 3]
+        R_lidar = rotate_mat3(R_il, dR_seq)
+        t_lidar = matvec3(R_il, dp_comp) + t_il[None, :] - matvec3(R_lidar, t_il)
+
+        traj_q = jnp.concatenate(
+            [jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), lie.matrix_to_quat(R_lidar)]
+        )
+        traj_t = jnp.concatenate([jnp.zeros((1, 3), jnp.float32), t_lidar])
+        traj_ts = jnp.concatenate([jnp.zeros((1,), jnp.float32), t_rel])
+        return apply_trajectory(cloud, traj_q, traj_t, traj_ts)
+
+    return run

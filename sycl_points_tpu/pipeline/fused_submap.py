@@ -241,6 +241,16 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
     exfn.lower(next_state_struct, jax.ShapeDtypeStruct((3,), jnp.float32)).compile()
 
     target = _target_struct(submap, next_ext)
+    # The tier re-extract path finalizes the target standalone
+    # (_finalize_target -> _finalize_jit): at a grown extract tier that jit
+    # retraces at the new shape — a 15-25 s covariance-program compile that
+    # dominated the r4 growth events until precompiled here.
+    if submap._need_covs or submap._need_normals:
+        raw_target = PointCloud(
+            points=jax.ShapeDtypeStruct((next_ext, 3), jnp.float32),
+            mask=jax.ShapeDtypeStruct((next_ext,), jnp.bool_),
+        )
+        submap._finalize_jit.lower(raw_target).compile()
     prebuilt = getattr(pipeline, "_prebuilt_submap", {})
     pipeline._prebuilt_submap = prebuilt
     fn = prebuilt.get(ie_key)

@@ -399,6 +399,14 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
         while self._pending:
             self._resolve_one(self._pending.popleft())
 
+    def resolve_oldest(self) -> bool:
+        """Force-resolve the oldest in-flight frame (blocking fetch); see
+        PipelinedLidarOdometry.resolve_oldest."""
+        if not self._pending:
+            return False
+        self._resolve_one(self._pending.popleft())
+        return True
+
     def get_odometry(self) -> np.ndarray:
         """Latest RESOLVED pose (a few frames behind dispatch until flush)."""
         return self.odom.copy()

@@ -479,6 +479,17 @@ class PipelinedLidarOdometry(LidarOdometry):
         while self._pending:
             self._resolve_one(self._pending.popleft())
 
+    def resolve_oldest(self) -> bool:
+        """Force-resolve the OLDEST in-flight frame with a blocking fetch;
+        returns True if one was resolved.  For serving layers idling between
+        scans: on the axon runtime an async d2h makes no progress unless the
+        process issues a blocking pull, so ``is_ready`` alone can starve the
+        pose stream (observed as a wedged closed-loop serving bench)."""
+        if not self._pending:
+            return False
+        self._resolve_one(self._pending.popleft())
+        return True
+
     # -- accessors ----------------------------------------------------------
     def get_odometry(self) -> np.ndarray:
         """Latest RESOLVED pose (one frame behind dispatch until flush())."""
