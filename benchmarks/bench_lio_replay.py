@@ -140,7 +140,7 @@ def main():
     # filter with the true initial velocity (the reference initializes from
     # rest or its alignment phase; an unseeded start just adds a transient).
     import jax.numpy as _jnp
-    s_dot = 0.35 / (0.1 * 18.0)  # world-frame p_dot(0) of the figure-8
+    s_dot = args.speed / (0.1 * 18.0)  # world-frame p_dot(0) of the figure-8
     v0 = np.array([18.0 * s_dot, 18.0 * s_dot, 0.0], np.float32)
     odo.x = odo.x._replace(velocity=_jnp.asarray(v0))
     odo.velocity_np = v0

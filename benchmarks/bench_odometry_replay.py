@@ -202,7 +202,7 @@ def run_replay(args, poses, scans_np, stamps_np, map_capacity,
             sync_counts.append(odo.sync_count_last_frame)
             for k, v in odo.processing_times.items():
                 stage_sums[k] = stage_sums.get(k, 0.0) + v
-        if i in (0, 1, args.warmup):
+        if i in (0, 1, args.warmup) or dt > 2.0:
             print(f"frame {i}: {r.name} {dt*1e3:.0f} ms", file=sys.stderr, flush=True)
         if i == 1 and precompile_growth:
             t0 = time.perf_counter()

@@ -82,7 +82,9 @@ def main():
                 random=RandomDownsamplingParams(enable=True, num=5000),
             ),
         ),
-        submap=SubmapParams(map_type="VOXEL_HASH_MAP", voxel_size=0.5),
+        # same map config as bench_odometry_replay so the transport-vs-
+        # offline ATE comparison is apples-to-apples
+        submap=SubmapParams(map_type="VOXEL_HASH_MAP", voxel_size=1.0),
         pose=PoseParams(
             initial=tuple(np.asarray(poses[0], np.float32).ravel().tolist())
         ),
@@ -132,23 +134,25 @@ def main():
 
     sends = {}
     period = 1.0 / args.hz if args.hz > 0 else 0.0
-    t_start = None
+    t_start = None  # the rate clock starts AFTER the warmup frames
     for i, pts in enumerate(scans):
         if args.hz > 0 and t_start is not None:
-            target = t_start + i * period
+            target = t_start + (i - args.warmup) * period
             now = time.perf_counter()
             if target > now:
                 time.sleep(target - now)
         t0 = time.perf_counter()
-        if t_start is None:
-            t_start = t0
         seq = client.send_cloud({"points": pts}, timestamp=0.1 * i)
         sends[seq] = t0
-        if args.hz == 0:
+        if args.hz == 0 or t_start is None:
             # closed loop: wait for this frame's pose (sync) or the
             # pipelined pipeline's pose from two frames back (its pipeline
             # depth) before offering the next scan; the bootstrap scan
-            # (seq 1) has no pose in the pipelined backend
+            # (seq 1) has no pose in the pipelined backend.  Fixed-rate
+            # runs ALSO pace their warmup frames closed-loop — the first
+            # frames carry the jit compiles, and offering a fixed rate
+            # into a cold server only measures the keep-last queue
+            # dropping scans.
             deadline = time.perf_counter() + 300.0
             want = seq if args.pipeline == "lo" else seq - 2
             while (want >= (1 if args.pipeline == "lo" else 2)
@@ -157,6 +161,8 @@ def main():
                 time.sleep(0.0005)
         if i == args.warmup:
             t_measure0 = time.perf_counter()
+            if args.hz > 0:
+                t_start = t_measure0
 
     # flush via the server's own processing thread (the pipeline is owned by
     # it; calling server.flush() from here would race)

@@ -380,7 +380,12 @@ def config7_mapping_ops(src, tgt, cap):
         )
         return acc + c.points[0, 0]
 
-    out["vhm_extract_ms"] = round(marginal_ms(b_extract), 3)
+    ms = marginal_ms(b_extract)
+    # sub-0.05 marginal diffs are inside the timing noise (can even go
+    # negative); report the floor convention instead of a noise sample
+    out["vhm_extract_ms"] = (
+        round(ms, 3) if ms >= 0.05 else "<0.05 (below noise floor)"
+    )
 
     # ---- occupancy grid (hits + DDA ray carving) ---------------------------
     # 0.5 m voxels over 50 m rays touch ~200k unique voxels per frame, so the
@@ -441,6 +446,24 @@ def config7_mapping_ops(src, tgt, cap):
 
     out["og_insert_carve_ms_cycle2"] = round(
         marginal_ms_carry(b_og_insert_c2, ostate_c2), 3
+    )
+
+    # cycle=5: the skip-frame floor is the hits+prune path (~5 ms), so the
+    # amortized insert approaches floor + carve/5 — the <10 ms operating
+    # point for carve-tolerant deployments
+    ocfg_c5 = _dc.replace(ocfg, free_space_update_cycle=5)
+    ostate_c5 = jax.block_until_ready(
+        jax.jit(lambda c: og.add_point_cloud(og.create(ocfg_c5), ocfg_c5, c, eye))(g0c)
+    )
+
+    def b_og_insert_c5(i, carry):
+        st, acc = carry
+        s = g0c.replace(points=g0c.points + 1e-12 * acc)
+        st = og.add_point_cloud(st, ocfg_c5, s, eye)
+        return st, acc + st.log_odds[0]
+
+    out["og_insert_carve_ms_cycle5"] = round(
+        marginal_ms_carry(b_og_insert_c5, ostate_c5), 3
     )
 
     def b_og_extract(i, acc):

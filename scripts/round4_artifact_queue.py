@@ -52,17 +52,21 @@ JOBS = [
      ["--json", "benchmarks/REPLAY_LIO_r4.json"]),
     # rw densities raised so the bias prior lets the filter adapt at a
     # realistic MEMS rate (the default 1e-5/1e-4 stiffness allows only
-    # ~3e-4 m/s^2 of accel-bias motion over the whole run)
+    # ~3e-4 m/s^2 of accel-bias motion over the whole run).  Gyro bias is
+    # the observable one on a planar yaw-only trajectory; accel bias is
+    # weakly observable by construction (z absorbs into gravity) — the
+    # artifact records both honestly, the control proves no bias is
+    # INVENTED and the ATE cost of the injected bias stays bounded.
     ("lio_bias", "benchmarks/bench_lio_replay.py",
-     ["--frames", "240",
-      "--gyro-bias", "0.02,-0.01,0.015", "--accel-bias", "0.2,0.1,-0.15",
-      "--gyro-bias-rw", "1e-4", "--accel-bias-rw", "1e-2",
+     ["--frames", "120",
+      "--gyro-bias", "0.02,-0.01,0.015", "--accel-bias", "0.05,0.03,-0.04",
+      "--gyro-bias-rw", "1e-4", "--accel-bias-rw", "1e-3",
       "--json", "benchmarks/REPLAY_LIO_BIAS_r4.json"]),
     # bias-free control at the SAME rw densities / length (the ATE-unchanged
     # comparison must not mix prior stiffnesses)
     ("lio_bias_control", "benchmarks/bench_lio_replay.py",
-     ["--frames", "240",
-      "--gyro-bias-rw", "1e-4", "--accel-bias-rw", "1e-2",
+     ["--frames", "120",
+      "--gyro-bias-rw", "1e-4", "--accel-bias-rw", "1e-3",
       "--json", "benchmarks/REPLAY_LIO_BIAS_CTRL_r4.json"]),
     # asks 1+6+7: growth replays with ladder warm start, extract tiering,
     # and an ample-capacity oracle ATE control in the same artifact
@@ -101,13 +105,16 @@ JOBS = [
       "--json", "benchmarks/FLEET_LIO_r4.json"]),
     # ask 4: the live-serving benchmark at three offered rates
     # warmup 10: the first ~5 frames carry jit compiles whose end-to-end
-    # latencies would otherwise dominate the percentiles
+    # latencies would otherwise dominate the percentiles.  Rates bracket the
+    # measured closed-loop ceiling (~12 fps on the dev tunnel): 10 Hz must
+    # serve with zero QoS drops; 20 Hz documents over-capacity behavior
+    # (keep-last queue drops, latest-scan semantics).
     ("stream_closed", "benchmarks/bench_stream.py",
      ["--hz", "0", "--warmup", "10", "--json", "/tmp/stream_r4_closed.json"]),
+    ("stream_10", "benchmarks/bench_stream.py",
+     ["--hz", "10", "--warmup", "10", "--json", "/tmp/stream_r4_10.json"]),
     ("stream_20", "benchmarks/bench_stream.py",
      ["--hz", "20", "--warmup", "10", "--json", "/tmp/stream_r4_20.json"]),
-    ("stream_35", "benchmarks/bench_stream.py",
-     ["--hz", "35", "--warmup", "10", "--json", "/tmp/stream_r4_35.json"]),
     # ask 10 + 8: refreshed bench suite (configs 5/6 re-pinned; config 7
     # carries the carve cycle=2 number)
     ("bench_suite", "benchmarks/bench_suite.py",
@@ -117,7 +124,7 @@ JOBS = [
 
 def merge_stream_artifact():
     runs = []
-    for tag in ("closed", "20", "35"):
+    for tag in ("closed", "10", "20"):
         path = f"/tmp/stream_r4_{tag}.json"
         if os.path.exists(path):
             with open(path) as f:
