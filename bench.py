@@ -16,6 +16,10 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+from sycl_points_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 import numpy as np
 
 from sycl_points_tpu.ops.covariance import estimate_covariances, extract_normals

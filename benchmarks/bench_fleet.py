@@ -45,6 +45,9 @@ from sycl_points_tpu.points.point_cloud import PointCloud, pad_capacity_for
 
 
 def main():
+    from sycl_points_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=8)
     ap.add_argument("--frames", type=int, default=40)

@@ -30,7 +30,9 @@ import jax
 from synthetic_velodyne import (
     World,
     figure8_imu,
+    figure8_imu_3d,
     figure8_trajectory,
+    figure8_velocity,
     scan_at,
     scan_at_distorted,
 )
@@ -56,6 +58,9 @@ from sycl_points_tpu.pipeline.params import (
 
 
 def main():
+    from sycl_points_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--warmup", type=int, default=8)
@@ -91,7 +96,19 @@ def main():
     ap.add_argument("--deskew", choices=["on", "off"], default="on",
                     help="with --distort: toggle IMU deskew to quantify the "
                          "uncorrected damage")
+    ap.add_argument("--excite3d", action="store_true",
+                    help="3-D-excited figure-8 (z-bob + roll/pitch "
+                         "oscillation, figure8_pose_3d): rotates gravity "
+                         "through the body frame so ACCEL bias becomes "
+                         "observable (round-4 verdict weak #7)")
+    ap.add_argument("--trace", default=None, metavar="OUT.npz",
+                    help="collect the 15-DOF solver's per-iteration trace "
+                         "(lio_registration.TRACE_COLS) + per-frame "
+                         "innovations into OUT.npz and summarize in the "
+                         "artifact (reference verbose-mode equivalent)")
     args = ap.parse_args()
+    if args.trace and args.pipelined:
+        ap.error("--trace requires the sync pipeline")
     gyro_bias_true = np.asarray(
         [float(v) for v in args.gyro_bias.split(",")], np.float64
     )
@@ -105,7 +122,8 @@ def main():
     print(f"device: {jax.devices()[0]}", file=sys.stderr, flush=True)
 
     world = World()
-    poses = figure8_trajectory(args.frames, speed=args.speed)
+    poses = figure8_trajectory(args.frames, speed=args.speed,
+                               excite3d=args.excite3d)
     frame_dt = 0.1
     params = LidarInertialOdometryParams(
         scan=ScanParams(
@@ -135,13 +153,13 @@ def main():
 
         odo = PipelinedLidarInertialOdometry(params)
     else:
-        odo = LidarInertialOdometry(params)
+        odo = LidarInertialOdometry(params, collect_trace=bool(args.trace))
     # Known initial state: the figure-8 starts already in motion, so seed the
     # filter with the true initial velocity (the reference initializes from
     # rest or its alignment phase; an unseeded start just adds a transient).
     import jax.numpy as _jnp
-    s_dot = args.speed / (0.1 * 18.0)  # world-frame p_dot(0) of the figure-8
-    v0 = np.array([18.0 * s_dot, 18.0 * s_dot, 0.0], np.float32)
+    v0 = figure8_velocity(0.0, speed=args.speed,
+                          excite3d=args.excite3d).astype(np.float32)
     odo.x = odo.x._replace(velocity=_jnp.asarray(v0))
     odo.velocity_np = v0
     odo.imu_v_world_at_reset = v0
@@ -149,6 +167,8 @@ def main():
 
     scans_np, stamps_np = [], []
     sp_tag = "" if args.speed == 0.35 else f"_v{args.speed:g}"
+    if args.excite3d:
+        sp_tag += "_3d"
     for i, T in enumerate(poses):
         if args.distort:
             if i + 1 < len(poses):
@@ -183,7 +203,10 @@ def main():
         n = max(int(round((t_to - t_from) * args.imu_hz)), 1)
         for k in range(n + 1):
             t = t_from + (t_to - t_from) * k / n
-            g, a = figure8_imu(t, speed=args.speed)
+            if args.excite3d:
+                g, a = figure8_imu_3d(t, speed=args.speed)
+            else:
+                g, a = figure8_imu(t, speed=args.speed)
             # the sensor reads TRUE motion + bias; the filter must estimate
             # and subtract the injected bias
             odo.add_imu_measurement(IMUMeasurement(
@@ -198,6 +221,7 @@ def main():
     frame_times = []
     stage_sums = {}
     est_poses = []
+    traces = []
     bias_traj = []
     reset_count = 0
     n_ok = 0
@@ -218,6 +242,9 @@ def main():
         dt = time.perf_counter() - t0
         if not args.pipelined:
             est_poses.append(np.asarray(odo.odom).copy())
+        if args.trace and odo.last_trace is not None:
+            traces.append((i, odo.last_trace))
+            odo.last_trace = None
         if odo.last_imu_reset_timestamp != prev_reset:
             reset_count += 1
             prev_reset = odo.last_imu_reset_timestamp
@@ -251,9 +278,40 @@ def main():
     n = max(len(frame_times), 1)
     gt = np.stack([p[:3, 3] for p in poses])
     est = np.stack([p[:3, 3] for p in est_poses])
-    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+    err_per_frame = np.linalg.norm(est - gt, axis=1)
+    ate = float(np.sqrt(np.mean(err_per_frame**2)))
+
+    trace_summary = None
+    if traces:
+        np.savez_compressed(
+            args.trace,
+            frames=np.asarray([i for i, _ in traces]),
+            iter_trace=np.stack([t["iter_trace"] for _, t in traces]),
+            T_pred=np.stack([t["T_pred"] for _, t in traces]),
+            innovation_rot=np.asarray([t["innovation_rot"] for _, t in traces]),
+            innovation_trans=np.asarray([t["innovation_trans"] for _, t in traces]),
+            v_pred=np.stack([t["v_pred"] for _, t in traces]),
+            dv_update=np.asarray([t["dv_update"] for _, t in traces]),
+        )
+        itr = np.stack([t["iter_trace"] for _, t in traces])
+        executed = np.isfinite(itr[:, :, 1]).sum(axis=1)
+        trace_summary = {
+            "file": args.trace,
+            "columns": list(__import__(
+                "sycl_points_tpu.lio.lio_registration", fromlist=["TRACE_COLS"]
+            ).TRACE_COLS),
+            "iterations_mean": round(float(executed.mean()), 2),
+            "innovation_trans_mean": round(float(np.mean(
+                [t["innovation_trans"] for _, t in traces])), 4),
+            "innovation_rot_mean": round(float(np.mean(
+                [t["innovation_rot"] for _, t in traces])), 5),
+            "dv_update_mean": round(float(np.mean(
+                [t["dv_update"] for _, t in traces])), 4),
+        }
 
     config = "lio-replay"
+    if args.excite3d:
+        config += "-3d"
     if float(np.linalg.norm(gyro_bias_true)) or float(np.linalg.norm(accel_bias_true)):
         config += "-bias"
     if args.distort:
@@ -261,6 +319,18 @@ def main():
     out = {
         "config": config,
         "frames": args.frames,
+        "run_params": {
+            "speed": args.speed,
+            "distort": bool(args.distort),
+            "deskew": args.deskew,
+            "excite3d": bool(args.excite3d),
+            "rings": args.rings,
+            "az": args.az,
+            "imu_hz": args.imu_hz,
+            "gyro_bias_rw": args.gyro_bias_rw,
+            "accel_bias_rw": args.accel_bias_rw,
+            "pipelined": args.pipelined,
+        },
         "pipelined": args.pipelined,
         "gyro_bias_true": gyro_bias_true.tolist(),
         "accel_bias_true": accel_bias_true.tolist(),
@@ -279,6 +349,8 @@ def main():
                      for k, v in sorted(stage_sums.items())},
         "device_syncs_per_frame": odo.sync_count_last_frame,
         "ate_translation_m": round(ate, 3),
+        "err_m_every_5_frames": [round(float(e), 3) for e in err_per_frame[::5]],
+        "trace": trace_summary,
         "preintegration_resets": reset_count,
         "bias_trajectory": bias_traj,
         "final_velocity": odo.velocity_np.round(4).tolist(),

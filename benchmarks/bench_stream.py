@@ -50,6 +50,9 @@ from sycl_points_tpu.points.point_cloud import pad_capacity_for
 
 
 def main():
+    from sycl_points_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--speed", type=float, default=0.35)
@@ -208,6 +211,11 @@ def main():
         "scan_queue_dropped": tele["scan_queue_dropped"],
         "frames_truncated_points": tele["frames_truncated_points"],
         "ate_translation_m": round(ate, 3),
+        # server-side breakdown (queue wait vs process) — the r4 wedge's
+        # missing measurement
+        "server_queue_wait_ms": tele.get("queue_wait_ms"),
+        "server_process_ms": tele.get("process_ms"),
+        "server_frame_timings_tail": list(server.frame_timings)[-40:],
     }
     print(json.dumps(out))
     if args.json:

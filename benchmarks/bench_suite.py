@@ -622,6 +622,9 @@ def config8_kitti_scale():
 
 
 def main():
+    from sycl_points_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", default=None)
     ap.add_argument("--only", default=None, help="comma-separated config numbers")

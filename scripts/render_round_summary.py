@@ -145,9 +145,81 @@ def suite_rows(round_no: int):
     return rows
 
 
+# lower-is-better metrics diffed round-over-round; >25% worse = red cell
+_REGRESSION_METRICS_LOW = (
+    "ms_per_frame_wall", "ms_per_frame_median", "ms_per_frame_max",
+    "ate_translation_m", "ms_per_frame_e2e_median", "ms_per_frame_e2e_p99",
+    "ms_per_fleet_frame",
+)
+_REGRESSION_METRICS_HIGH = ("served_frames_per_sec", "stream_frames_per_sec")
+_REGRESSION_THRESHOLD = 0.25
+
+
+def _flat_metrics(d: dict):
+    out = {}
+    for k in _REGRESSION_METRICS_LOW:
+        if isinstance(d.get(k), (int, float)):
+            out[k] = (float(d[k]), "low")
+    for k in _REGRESSION_METRICS_HIGH:
+        if isinstance(d.get(k), (int, float)):
+            out[k] = (float(d[k]), "high")
+    for k, v in (d.get("stage_ms") or {}).items():
+        if isinstance(v, (int, float)):
+            out[f"stage:{k}"] = (float(v), "low")
+    return out
+
+
+def regression_rows(round_no: int):
+    """Diff every r{N} artifact against its r{N-1} counterpart on shared
+    metrics; rows worse by > threshold are flagged — the loud-failure gate
+    the r4 stats-fetch regression slipped past (verdict weak #3 + ask 4)."""
+    prev = round_no - 1
+    rows = []
+    for path in sorted(glob.glob(os.path.join(ROOT, "benchmarks", f"*_r{round_no}.json"))):
+        base = os.path.basename(path)
+        if base.startswith(("BENCH_SUITE", "QUEUE_MANIFEST")):
+            continue
+        prev_path = os.path.join(
+            ROOT, "benchmarks", base.replace(f"_r{round_no}.json", f"_r{prev}.json")
+        )
+        if not os.path.exists(prev_path):
+            continue
+        cur, old = _load(path), _load(prev_path)
+        if not (isinstance(cur, dict) and isinstance(old, dict)):
+            continue
+        pairs = [(base, cur, old)]
+        if "runs" in cur and "runs" in old:  # stream artifact
+            old_by = {r.get("offered_hz"): r for r in old["runs"]}
+            pairs = [
+                (f"{base}@{r.get('offered_hz')}Hz", r, old_by[r.get("offered_hz")])
+                for r in cur["runs"] if r.get("offered_hz") in old_by
+            ]
+        for tag, c, o in pairs:
+            cm, om = _flat_metrics(c), _flat_metrics(o)
+            for k in sorted(set(cm) & set(om)):
+                new_v, sense = cm[k]
+                old_v, _ = om[k]
+                if old_v == 0:
+                    continue
+                delta = (new_v - old_v) / abs(old_v)
+                worse = delta > _REGRESSION_THRESHOLD if sense == "low" else (
+                    -delta > _REGRESSION_THRESHOLD
+                )
+                rows.append({
+                    "artifact": tag, "metric": k,
+                    "prev": old_v, "cur": new_v,
+                    "delta_pct": round(delta * 100.0, 1),
+                    "worse": worse,
+                })
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--fail-on-regression", action="store_true",
+                    help="exit 1 when any metric regressed > 25% vs the "
+                         "previous round (the queue runs this to fail loudly)")
     args = ap.parse_args()
     n = args.round
 
@@ -173,6 +245,29 @@ def main():
         for r in srows:
             print(r)
         print()
+
+    rrows = regression_rows(n)
+    flagged = [r for r in rrows if r["worse"]]
+    if rrows:
+        print(f"### Round-over-round regression table (r{n-1} -> r{n}, "
+              f"flag at >{int(_REGRESSION_THRESHOLD*100)}%)\n")
+        print("| artifact | metric | r{} | r{} | delta | |".format(n - 1, n))
+        print("|---|---|---|---|---|---|")
+        for r in rrows:
+            mark = "**REGRESSED**" if r["worse"] else ""
+            print(f"| `{r['artifact']}` | {r['metric']} | {_fmt(r['prev'])} | "
+                  f"{_fmt(r['cur'])} | {r['delta_pct']:+.1f}% | {mark} |")
+        print()
+        if flagged:
+            print(f"**{len(flagged)} metric(s) regressed beyond the threshold "
+                  f"— each needs an explanation in the notes.**\n")
+    if args.fail_on_regression and flagged:
+        import sys
+        for r in flagged:
+            print(f"REGRESSION {r['artifact']} {r['metric']} "
+                  f"{r['prev']} -> {r['cur']} ({r['delta_pct']:+.1f}%)",
+                  file=sys.stderr)
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -208,6 +208,11 @@ class OdometryStreamServer:
         # "which scan is this the pose of"
         self._seq_by_frame: Dict[int, int] = {}
         self._last_frame_count = 0
+        # per-frame serving breakdown (seq -> dict), bounded; the
+        # measurement the r4 paced-load wedge lacked: where each scan's
+        # wall time went (queue wait vs process vs publish lag)
+        self.frame_timings: Deque[Dict] = deque(maxlen=512)
+        self._emit_t: Dict[int, float] = {}
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -278,7 +283,7 @@ class OdometryStreamServer:
                                       timestamp=0.0, payload=b""))
                 return
             if msg.msg_type == sp.MSG_POINTCLOUD:
-                self._scan_q.push(msg)
+                self._scan_q.push((msg, time.perf_counter()))
                 self._wake.set()
             elif msg.msg_type == sp.MSG_IMU:
                 self._imu_q.push(msg)
@@ -297,8 +302,8 @@ class OdometryStreamServer:
     # -- processing side ---------------------------------------------------------
     def _process_loop(self) -> None:
         while not self._stop.is_set():
-            msg = self._scan_q.pop()
-            if msg is None:
+            item = self._scan_q.pop()
+            if item is None:
                 if self.is_pipelined:
                     # Idle with frames in flight: force-resolve the oldest
                     # (blocking) — on the axon runtime async transfers make
@@ -319,8 +324,26 @@ class OdometryStreamServer:
                 self._wake.wait(timeout=0.01)
                 self._wake.clear()
                 continue
+            msg, t_arrival = item
             try:
+                t_deq = time.perf_counter()
                 self._process_scan(msg)
+                t_done = time.perf_counter()
+                self.frame_timings.append({
+                    "seq": msg.seq,
+                    "queue_wait_ms": round((t_deq - t_arrival) * 1e3, 2),
+                    "process_ms": round((t_done - t_deq) * 1e3, 2),
+                    "emit_lag_ms": (
+                        round((self._emit_t[msg.seq] - t_done) * 1e3, 2)
+                        if msg.seq in self._emit_t else None
+                    ),
+                    "queue_len_after": len(self._scan_q),
+                    "stage_ms": {
+                        k: round(v * 1e3, 2) for k, v in dict(
+                            getattr(self.pipeline, "processing_times", {}) or {}
+                        ).items()
+                    },
+                })
             except Exception as e:  # serving must survive a bad frame
                 self.last_error = f"process: {type(e).__name__}: {e}"
                 self._send_status({"error": self.last_error, "seq": msg.seq})
@@ -395,6 +418,10 @@ class OdometryStreamServer:
 
     def _emit_pose(self, seq: int, ts: float, T_lidar: np.ndarray,
                    result_code: int, inlier: float) -> None:
+        self._emit_t[seq] = time.perf_counter()
+        if len(self._emit_t) > 1024:
+            for k in sorted(self._emit_t)[:-512]:
+                self._emit_t.pop(k, None)
         T_base = np.asarray(T_lidar, np.float32) @ self.T_lb
         q = lie_np.matrix_to_quat(T_base[:3, :3])
         self._send(
@@ -445,6 +472,18 @@ class OdometryStreamServer:
         )
 
     def telemetry(self) -> Dict:
+        timings = list(self.frame_timings)
+
+        def agg(key):
+            vals = [t[key] for t in timings if t.get(key) is not None]
+            if not vals:
+                return None
+            return {
+                "median": round(float(np.median(vals)), 2),
+                "p90": round(float(np.percentile(vals, 90)), 2),
+                "max": round(float(np.max(vals)), 2),
+            }
+
         return {
             "frames_processed": self.frames_processed,
             "scan_queue_dropped": self._scan_q.dropped,
@@ -453,6 +492,10 @@ class OdometryStreamServer:
             "processing_times": dict(
                 getattr(self.pipeline, "processing_times", {}) or {}
             ),
+            # serving breakdown over the recent window (the r4 wedge had no
+            # way to see WHERE offered-load latency accrued)
+            "queue_wait_ms": agg("queue_wait_ms"),
+            "process_ms": agg("process_ms"),
             "last_error": self.last_error,
         }
 
@@ -557,6 +600,10 @@ def main(argv=None) -> int:
     ap.add_argument("--publish-map-every", type=int, default=0)
     ap.add_argument("--status-every", type=int, default=0)
     args = ap.parse_args(argv)
+
+    from sycl_points_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     params = None
     if args.config:

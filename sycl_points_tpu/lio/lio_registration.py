@@ -94,6 +94,25 @@ class LIORegistrationResult(NamedTuple):
     error: jax.Array
 
 
+# Per-iteration trace columns (align(..., trace=True)) — the 15-DOF
+# equivalent of registration.TRACE_COLS (reference verbose mode,
+# lio_registration.hpp per-iteration error/inlier prints).
+TRACE_COLS = (
+    "level",          # robust annealing level
+    "error",          # robust ICP cost at linearization
+    "inlier",         # correspondence-gate inliers
+    "icp_weight",     # reduced-chi^2 ICP weight this iteration
+    "lambda_or_radius",  # LM lambda / dogleg radius after the iteration
+    "step_rot",       # |rot| block of the APPLIED 15-DOF step
+    "step_trans",     # |pos| block
+    "step_vel",       # |vel| block
+    "step_bg",        # |gyro bias| block
+    "step_ba",        # |accel bias| block
+    "accepted",       # 1 if the iteration moved the state
+    "converged",      # convergence test on this iteration's step
+)
+
+
 def add_icp_factor(H15, b15, icp_H, icp_b, R_world_lidar, weight):
     """Embed the 6x6 ICP system (twist order [rot, trans]) into the 15-D
     error state (lio_registration.hpp:94-113)."""
@@ -238,8 +257,14 @@ def align(
     factor_params: RegistrationParams = RegistrationParams(reg_type=RegType.GICP),
     params: LIORegistrationParams = LIORegistrationParams(),
     update_bias: bool | jax.Array = True,
-) -> LIORegistrationResult:
-    """LIORegistration::align (lio_registration.hpp:396-694). Jittable."""
+    trace: bool = False,
+):
+    """LIORegistration::align (lio_registration.hpp:396-694). Jittable.
+
+    ``trace=True`` (static) also returns a ``[total_iterations,
+    len(TRACE_COLS)]`` per-iteration trace (NaN rows = not executed):
+    ``(result, trace)`` instead of ``result``.
+    """
     H_imu, b_imu0, imu_valid = imu_factor.compute_imu_hessian_gradient(
         predicted_state, predicted_state, predicted_covariance
     )
@@ -287,7 +312,7 @@ def align(
         last_inlier: jax.Array
         last_error: jax.Array
 
-    def make_body(geo_scale, rot_scale):
+    def make_body(geo_scale, rot_scale, level_idx=0):
         geo_s = jnp.float32(geo_scale)
         rot_s = jnp.float32(rot_scale)
 
@@ -417,12 +442,28 @@ def align(
             out_state = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(accepted, new, old), new_state, c.state
             )
-            return Carry(
+            out = Carry(
                 state=out_state, it=c.it + 1, done=done,
                 lm_lambda=lm_next, radius=radius_next,
                 H_undamped=H15, has_H=jnp.bool_(True),
                 last_inlier=lin.inlier, last_error=lin.error,
             )
+            if method == "powell_dogleg":
+                damping_tr = radius_next
+            elif method == "gauss_newton":
+                damping_tr = jnp.float32(params.gn.lambda_)
+            else:
+                damping_tr = lm_next
+            f32 = lambda v: jnp.asarray(v, jnp.float32)
+            applied = jnp.where(accepted, delta, jnp.zeros(DOF, jnp.float32))
+            nrm = lambda i: jnp.linalg.norm(applied[i : i + 3])
+            row = jnp.stack([
+                f32(level_idx), f32(lin.error), f32(lin.inlier), f32(icp_weight),
+                f32(damping_tr), nrm(IDX_ROT), nrm(IDX_POS), nrm(IDX_VEL),
+                nrm(IDX_GYR_BIAS), nrm(IDX_ACC_BIAS),
+                f32(accepted), f32(jnp.where(accepted, is_converged(delta), False)),
+            ])
+            return out, row
 
         return body
 
@@ -433,18 +474,35 @@ def align(
         H_undamped=jnp.zeros((DOF, DOF), jnp.float32), has_H=jnp.bool_(False),
         last_inlier=jnp.int32(0), last_error=jnp.float32(0.0),
     )
+    trace_buf = (
+        jnp.full((max(params.total_iterations, 1), len(TRACE_COLS)), jnp.nan, jnp.float32)
+        if trace
+        else None
+    )
     it_base = 0
     for lvl, (n_iters, gs, rs) in enumerate(zip(iters_per_level, geo_scales, rot_scales)):
-        body = make_body(gs, rs)
+        body = make_body(gs, rs, lvl)
         limit = it_base + n_iters
         carry = carry._replace(
             done=jnp.bool_(False),
             lm_lambda=jnp.float32(params.lm.init_lambda),
             radius=jnp.float32(params.dogleg.initial_trust_region_radius),
         )
-        carry = jax.lax.while_loop(
-            lambda c: (c.it < limit) & ~c.done, body, carry
-        )
+        if trace:
+            def body_tr(cb, _body=body):
+                c, buf = cb
+                c2, row = _body(c)
+                return c2, buf.at[c.it].set(row)
+
+            carry, trace_buf = jax.lax.while_loop(
+                lambda cb, _limit=limit: (cb[0].it < _limit) & ~cb[0].done,
+                body_tr, (carry, trace_buf),
+            )
+        else:
+            carry = jax.lax.while_loop(
+                lambda c, _limit=limit: (c.it < _limit) & ~c.done,
+                lambda c: body(c)[0], carry,
+            )
         carry = carry._replace(it=jnp.maximum(carry.it, limit))
         it_base = limit
 
@@ -459,7 +517,7 @@ def align(
         jnp.where(carry.has_H & ok2, P2, previous_posterior_covariance),
     )
 
-    return LIORegistrationResult(
+    result = LIORegistrationResult(
         state=carry.state,
         posterior_covariance=P_post,
         T=carry.state.pose(),
@@ -467,3 +525,4 @@ def align(
         inlier=carry.last_inlier,
         error=carry.last_error,
     )
+    return (result, trace_buf) if trace else result

@@ -175,13 +175,28 @@ def downsample_by_coords(
     key = jnp.where(in_bound, key, jnp.int32(2**31 - 1))
 
     payload = [cloud.points[:, 0], cloud.points[:, 1], cloud.points[:, 2]]
-    n_rgb = n_ts = n_int = 0
+    n_rgb = n_ts = n_cov = n_nrm = n_int = 0
     if cloud.rgb is not None:
         payload += [cloud.rgb[:, 0], cloud.rgb[:, 1], cloud.rgb[:, 2]]
         n_rgb = 3
     if cloud.timestamp_offsets is not None:
         payload.append(cloud.timestamp_offsets)
         n_ts = 1
+    if cloud.covs is not None:
+        # per-voxel covariance = mean of member covariances (6 unique
+        # elements of the symmetric 3x3 ride the sort) — the raw-features
+        # preprocess path estimates covariances on the RAW scan
+        # (ops.range_image_knn) and carries them through the downsample;
+        # between-member spread (<= voxel_size^2) is negligible against the
+        # k-neighborhood scale the covariances describe
+        cv = cloud.covs
+        payload += [cv[:, 0, 0], cv[:, 0, 1], cv[:, 0, 2],
+                    cv[:, 1, 1], cv[:, 1, 2], cv[:, 2, 2]]
+        n_cov = 6
+    if cloud.normals is not None:
+        nr = cloud.normals
+        payload += [nr[:, 0], nr[:, 1], nr[:, 2]]
+        n_nrm = 3
     if cloud.intensities is not None:
         payload.append(cloud.intensities)
         n_int = 1
@@ -195,7 +210,8 @@ def downsample_by_coords(
 
     # One fused [N, C] segment reduction over every mean-aggregated channel
     # (+ the count column) — a single pass over the big array.
-    mean_cols = cols[: 3 + n_rgb + n_ts]
+    n_mean = 3 + n_rgb + n_ts + n_cov + n_nrm
+    mean_cols = cols[:n_mean]
     moments = jax.ops.segment_sum(
         jnp.stack([c * w for c in mean_cols] + [w], axis=1),
         seg_id,
@@ -208,8 +224,28 @@ def downsample_by_coords(
     centroid = means[:, :3]
     voxel_ok = counts >= float(min_voxel_count)
 
-    rgb = means[:, 3 : 3 + n_rgb] if n_rgb else None
-    ts = means[:, 3 + n_rgb] if n_ts else None
+    col = 3
+    rgb = means[:, col : col + n_rgb] if n_rgb else None
+    col += n_rgb
+    ts = means[:, col] if n_ts else None
+    col += n_ts
+    covs = None
+    if n_cov:
+        u = means[:, col : col + 6]
+        covs = jnp.stack(
+            [
+                jnp.stack([u[:, 0], u[:, 1], u[:, 2]], axis=1),
+                jnp.stack([u[:, 1], u[:, 3], u[:, 4]], axis=1),
+                jnp.stack([u[:, 2], u[:, 4], u[:, 5]], axis=1),
+            ],
+            axis=1,
+        )
+        col += 6
+    normals = None
+    if n_nrm:
+        nm = means[:, col : col + 3]
+        normals = nm / jnp.maximum(jnp.linalg.norm(nm, axis=1, keepdims=True), 1e-9)
+        col += 3
     intens = None
     if n_int:
         intens = _segment_median(cols[-1], seg_id, w, counts, out_cap)
@@ -218,6 +254,8 @@ def downsample_by_coords(
         points=centroid,
         mask=voxel_ok,
         rgb=rgb,
+        covs=covs,
+        normals=normals,
         intensities=intens,
         timestamp_offsets=ts,
     )

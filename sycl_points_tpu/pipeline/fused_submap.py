@@ -138,6 +138,10 @@ def _struct(tree):
 # of the 0.7 growth threshold — idle-map streams must not pay CPU for
 # speculative compiles of tiers they will never visit.
 GROWTH_PRECOMPILE_LOAD_GATE = 0.35
+# A deliberately-small initial capacity WILL grow and can cross 0.35 -> 0.7
+# within a frame or two of the (one-frame-stale) load reading; start its
+# ladder earlier (advisor r4).
+GROWTH_PRECOMPILE_LOAD_GATE_SMALL = 0.15
 
 # In-flight precompile threads, joined at interpreter exit: a daemon thread
 # killed inside a PJRT compile aborts the whole process ("terminate called
@@ -269,9 +273,17 @@ def _compile_growth_step(pipeline, robust_scale, arg_structs, cfg):
     reg_jit = getattr(pipeline, "_reg_step_jit", None) or getattr(
         pipeline, "_lio_step_jit", None
     )
+    # The runtime target KNN comes from build_target_knn: brute force below
+    # GRID_KNN_TARGET_THRESHOLD, GridKNN above it.  Precompile only when the
+    # selection is brute force — a GridKNN-shaped operand would make this
+    # expensive compile dead weight (advisor r4: keep the signatures from
+    # drifting by deriving the choice from the same threshold).
+    from sycl_points_tpu.ops.knn import GRID_KNN_TARGET_THRESHOLD
+
     if (
         reg_structs is not None and reg_jit is not None
         and target.points.shape != reg_structs[1].points.shape
+        and next_ext <= GRID_KNN_TARGET_THRESHOLD
     ):
         knn = BruteForceKNN(
             points=target.points, mask=target.mask,
@@ -333,7 +345,14 @@ def start_growth_precompile(
     pipeline._growth_precompile_ctx = (robust_scale, arg_structs)
     if not enabled:
         return
-    if load is None or load < GROWTH_PRECOMPILE_LOAD_GATE:
+    # A deliberately-small initial capacity WILL grow (that is its point) and
+    # can cross 0.35 -> 0.7 within a frame or two, before the one-frame-stale
+    # load gate ever opens — use the earlier small-start gate for it.
+    from sycl_points_tpu.pipeline.params import SubmapParams
+
+    small_start = submap.map_capacity < SubmapParams().map_capacity
+    gate = GROWTH_PRECOMPILE_LOAD_GATE_SMALL if small_start else GROWTH_PRECOMPILE_LOAD_GATE
+    if load is None or load < gate:
         return
     cfg = submap.map_config
     caps = [

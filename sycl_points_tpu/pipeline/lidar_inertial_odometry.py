@@ -72,8 +72,20 @@ _S1 = 34
 
 
 class LidarInertialOdometry:
-    def __init__(self, params: LidarInertialOdometryParams = LidarInertialOdometryParams()):
+    def __init__(
+        self,
+        params: LidarInertialOdometryParams = LidarInertialOdometryParams(),
+        collect_trace: bool = False,
+    ):
+        """``collect_trace=True`` (debug/observability mode) makes every frame
+        also fetch the 15-DOF solver's per-iteration trace
+        (:data:`lio_registration.TRACE_COLS`) plus the predicted-vs-registered
+        innovation into :attr:`last_trace` — the verbose-mode equivalent of
+        the reference (lio_registration.hpp per-iteration prints).  Costs one
+        extra device fetch per frame; off in production."""
         self.params = params
+        self.collect_trace = collect_trace
+        self.last_trace: Optional[dict] = None
         self.pc_processor = PCProcessor(params)
         self.submap = Submap(params)
         self._use_pallas = jax.default_backend() in ("tpu", "axon")
@@ -89,7 +101,18 @@ class LidarInertialOdometry:
             accel_bias=jnp.asarray(params.imu.accel_bias, dtype=jnp.float32),
             gyro_bias=jnp.asarray(params.imu.gyro_bias, dtype=jnp.float32),
         )
-        self.P_post = jnp.zeros((15, 15), jnp.float32)
+        # initial bias uncertainty (see params.initial_*_bias_sigma): the
+        # reference's zero-initialized P_post_ leaves bias unobservable in
+        # practice; this prior makes the bias states correctable
+        P0 = np.zeros((15, 15), np.float32)
+        from sycl_points_tpu.imu.factor import IDX_ACC_BIAS, IDX_GYR_BIAS
+        P0[IDX_ACC_BIAS:IDX_ACC_BIAS + 3, IDX_ACC_BIAS:IDX_ACC_BIAS + 3] = (
+            params.initial_accel_bias_sigma**2 * np.eye(3)
+        )
+        P0[IDX_GYR_BIAS:IDX_GYR_BIAS + 3, IDX_GYR_BIAS:IDX_GYR_BIAS + 3] = (
+            params.initial_gyro_bias_sigma**2 * np.eye(3)
+        )
+        self.P_post = jnp.asarray(P0)
         self.odom = params.pose.initial_matrix()
         self.prev_odom = self.odom.copy()
         self.dt = 0.1
@@ -186,11 +209,12 @@ class LidarInertialOdometry:
             source = pre
             if sampling.enable and sampling.num < pre.capacity:
                 source = random_sampling(pre, sampling.num, key)
-            result = lio.align(
+            aligned = lio.align(
                 source, submap, knn, pred, P_pred, P_post,
                 factor_params=p.registration.factor, params=p.lio,
-                update_bias=update_bias,
+                update_bias=update_bias, trace=self.collect_trace,
             )
+            result, iter_trace = aligned if self.collect_trace else (aligned, None)
             x_reg = result.state
             if p.max_accel_bias_norm > 0.0:
                 x_reg = x_reg._replace(
@@ -249,6 +273,18 @@ class LidarInertialOdometry:
                 ]),
                 x_new.gyro_bias, x_new.accel_bias, x_new.velocity,
             ])
+            if self.collect_trace:
+                # innovation: registered-vs-predicted pose twist + state deltas
+                innov = lie.se3_log(lie.transform_inverse(T_pred) @ x_reg.pose())
+                debug = {
+                    "iter_trace": iter_trace,
+                    "T_pred": T_pred,
+                    "innovation_rot": jnp.linalg.norm(innov[:3]),
+                    "innovation_trans": jnp.linalg.norm(innov[3:]),
+                    "v_pred": v_pred,
+                    "dv_update": jnp.linalg.norm(x_reg.velocity - v_pred),
+                }
+                return x_new, P_new, source, T_eff, is_kf, stats1, debug
             return x_new, P_new, source, T_eff, is_kf, stats1
 
         self._lio_step_jit = jax.jit(_lio_step)
@@ -323,10 +359,21 @@ class LidarInertialOdometry:
         t0 = time.perf_counter()
         cloud = scan
         if p.imu.deskew.enable:
+            if self.is_first_frame:
+                R_imu0 = (
+                    self.odom[:3, :3] @ p.imu.T_imu_to_lidar_matrix()[:3, :3]
+                ).astype(np.float32)
+                v0 = self.imu_v_world_at_reset
+            else:
+                # deskew initial conditions at SCAN START, not at the
+                # previous frame's reset: on a turning/accelerating
+                # trajectory the one-frame-stale (R, v) injects a*dt-scale
+                # point warps that feed back into the map (round-5 fix)
+                R_imu0, v0 = self._propagate_to_scan_start(timestamp)
             cloud, _ = self.pc_processor.deskew_with_imu(
                 cloud, list(self.imu_buffer), self.odom, timestamp, scan_duration_sec,
                 self.gyro_bias_np, self.accel_bias_np,
-                v_world_body=self.imu_v_world_at_reset,
+                v_world_body=v0, R_world_imu=R_imu0,
             )
         pre = self.pc_processor.prefilter(cloud)
         ctx = self.pc_processor.prepare_context(pre)
@@ -344,10 +391,15 @@ class LidarInertialOdometry:
             self.is_first_frame = False
             self.last_frame_time = timestamp
             self.last_imu_reset_timestamp = timestamp
+            # keep the current velocity state: zeroing here would wipe a
+            # caller-seeded initial velocity and put the filter through a
+            # multi-frame velocity transient — with IMU deskew enabled that
+            # transient WARPS the early scans (deskew uses the velocity
+            # estimate) and poisons the map they seed (round-5 root cause of
+            # the distorted-replay divergence, REPLAY_DESKEW_LIO_r4)
             self.x = self.x._replace(
                 position=jnp.asarray(self.odom[:3, 3]),
                 rotation=jnp.asarray(self.odom[:3, :3]),
-                velocity=jnp.zeros(3),
             )
             self.imu_R_world_at_reset = (
                 self.odom[:3, :3] @ p.imu.T_imu_to_lidar_matrix()[:3, :3]
@@ -392,7 +444,12 @@ class LidarInertialOdometry:
         self._reg_arg_structs = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), reg_args
         )
-        x_new, P_new, reg_input, T_eff, is_kf, s1 = self._lio_step_jit(*reg_args)
+        if self.collect_trace:
+            x_new, P_new, reg_input, T_eff, is_kf, s1, dbg = self._lio_step_jit(*reg_args)
+            self.last_trace = {k: np.asarray(v) for k, v in dbg.items()}
+            self.sync_count_last_frame += 1
+        else:
+            x_new, P_new, reg_input, T_eff, is_kf, s1 = self._lio_step_jit(*reg_args)
         self.processing_times["3. registration"] += time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -474,13 +531,42 @@ class LidarInertialOdometry:
         else:
             self._dropped_seen = int(dropped)
             if float(load) > 0.7:
-                self.submap._grow_map()
+                self.submap._grow_map(origin=T_np)
         # extract-overflow backstop (see LidarOdometry._process_fused)
         if self.submap.extract_overflow > 0:
             if self.submap.resolve_extract_overflow(T_np):
                 self.sync_count_last_frame += 2
         self.processing_times["4. build submap"] += time.perf_counter() - t0
         return ResultType.success
+
+    # ------------------------------------------------------------------
+    def _propagate_to_scan_start(self, timestamp: float):
+        """Host-side midpoint propagation of (R_world_imu, v_world) from the
+        last preintegration reset to ``timestamp`` (the scan start) — the
+        IMU-deskew initial conditions.  ~tens of numpy 3-vector ops per
+        frame; the device-side fused step recomputes the same window anyway
+        (imu_deskew.hpp:123-160 semantics: state AT scan start)."""
+        from sycl_points_tpu.utils.lie_np import so3_exp_matrix
+
+        window = build_measurement_window(
+            list(self.imu_buffer), self.last_imu_reset_timestamp, timestamp
+        )
+        R = self.imu_R_world_at_reset.astype(np.float64)
+        v = self.imu_v_world_at_reset.astype(np.float64)
+        g = np.asarray(self.params.imu.preintegration.gravity, np.float64)
+        a_scale = self.params.imu.preintegration.accel_scale
+        bg = self.gyro_bias_np.astype(np.float64)
+        ba = self.accel_bias_np.astype(np.float64)
+        for m0, m1 in zip(window[:-1], window[1:]):
+            dt = m1.timestamp - m0.timestamp
+            if dt <= 1e-9:
+                continue
+            w = 0.5 * (m0.gyro + m1.gyro).astype(np.float64) - bg
+            a = 0.5 * (m0.accel + m1.accel).astype(np.float64) * a_scale - ba
+            R_half = R @ so3_exp_matrix(w * (0.5 * dt))
+            v = v + (R_half @ a + g) * dt
+            R = R @ so3_exp_matrix(w * dt)
+        return R.astype(np.float32), v.astype(np.float32)
 
     # ------------------------------------------------------------------
     def _imu_bias_observable(self) -> bool:

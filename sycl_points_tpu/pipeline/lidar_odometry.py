@@ -306,10 +306,15 @@ class LidarOdometry:
         t0 = time.perf_counter()
         cloud = scan
         if self._imu_deskew_enabled():
+            # initial-velocity compensation from the CV velocity estimate:
+            # without it the sweep translation (|v| * scan_duration, ~1 m at
+            # highway speed) stays uncorrected and deskew only fixes rotation
+            v_world = (self.odom[:3, :3] @ self.linear_velocity).astype(np.float32)
             cloud, _status = self.pc_processor.deskew_with_imu(
                 cloud, list(self.imu_buffer), self.odom,
                 self._scan_start_time_sec, self._scan_duration_sec,
                 self.imu_bias_gyro, self.imu_bias_accel,
+                v_world_body=v_world,
             )
         pre = self.pc_processor.prefilter(cloud)
 
@@ -510,7 +515,7 @@ class LidarOdometry:
         else:
             self._dropped_seen = int(dropped)  # from the fused stats, no sync
             if float(load) > 0.7:
-                self.submap._grow_map()
+                self.submap._grow_map(origin=T_np)
         # extract-overflow backstop: the in-range voxel set outgrew the
         # extraction budget without a map growth — grow the tier and
         # re-extract so the target is never silently truncated (counter

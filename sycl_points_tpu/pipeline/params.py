@@ -209,6 +209,17 @@ class MEstimationParams:
 class CovarianceEstimationParams:
     neighbor_num: int = 10
     m_estimation: MEstimationParams = MEstimationParams()
+    # Raw-features path (beyond ref, TPU-first): estimate covariances on the
+    # RAW sensor-frame scan with the O(N) range-image neighborhood search
+    # (ops.range_image_knn, measured 0.998 recall) and carry them through
+    # the voxel downsample (mean member covariance) — replaces the dense
+    # post-voxel self-KNN, the measured preprocess dominator at KITTI scale
+    # (8.9 of 10.5 ms).  Requires sensor-frame input scans.
+    raw_range_image: bool = False
+    range_image_n_az: int = 2048
+    range_image_n_rings: int = 64
+    range_image_window_az: int = 6
+    range_image_window_el: int = 4
 
 
 # --- IMU ---------------------------------------------------------------------
@@ -312,6 +323,15 @@ class LidarInertialOdometryParams(CommonParameters):
     bias_update_min_dt: float = 0.05
     max_accel_bias_norm: float = 0.5
     max_gyro_bias_norm: float = 0.1
+    # Initial bias std-dev applied ONCE to P_post at filter start — beyond
+    # the reference, which zero-initializes P_post_ (lidar_inertial_odometry
+    # .hpp:323) so its bias states carry zero uncertainty and can adapt only
+    # at the bias-random-walk rate (≈ rw²·dt variance per frame: unusably
+    # slow, measured ~1e-8 rad/s per 100 frames).  A nonzero prior sigma
+    # makes the preintegration cross-covariances (J_p_ba, J_R_bg) expose the
+    # bias to the ICP innovations — the standard VIO/LIO initialization.
+    initial_gyro_bias_sigma: float = 0.02  # [rad/s]
+    initial_accel_bias_sigma: float = 0.1  # [m/s^2]
 
 
 # --- YAML loading ------------------------------------------------------------

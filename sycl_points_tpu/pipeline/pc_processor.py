@@ -56,9 +56,31 @@ class PCProcessor:
     # -- prefilter ----------------------------------------------------------
     def _prefilter_fn(self, cloud: PointCloud, key) -> PointCloud:
         p = self.params.scan
+        ce = self.params.covariance_estimation
         c = cloud
         if p.preprocess.box_filter.enable:
             c = box_filter(c, p.preprocess.box_filter.min, p.preprocess.box_filter.max)
+        if ce.raw_range_image:
+            # raw-features: covariances from the O(N) range-image
+            # neighborhoods BEFORE downsampling; the voxel stage aggregates
+            # them (ops/voxel.py) and compute_covariances becomes a no-op
+            from sycl_points_tpu.ops.range_image_knn import range_image_knn
+
+            rr = range_image_knn(
+                c.points, c.mask, ce.neighbor_num,
+                n_az=ce.range_image_n_az, n_rings=ce.range_image_n_rings,
+                window_az=ce.range_image_window_az,
+                window_el=ce.range_image_window_el,
+            )
+            me = ce.m_estimation
+            if me.enable:
+                covs = estimate_covariances_robust(
+                    c.points, rr.knn, me.type, me.mad_scale,
+                    me.min_robust_scale, me.max_iterations,
+                )
+            else:
+                covs = estimate_covariances(c.points, rr.knn)
+            c = c.replace(covs=covs)
         cap = min(self.params.scan_capacity, c.capacity)
         if p.downsampling.polar.enable:
             # The last grid stage emits bins densely from slot 0, so it can
@@ -87,9 +109,19 @@ class PCProcessor:
     # -- covariance context --------------------------------------------------
     def prepare_context(self, cloud: PointCloud) -> ProcessingContext:
         # Covariance neighborhoods tolerate ~2% approximate neighbors;
-        # approx_max_k is 7.7x faster on TPU and exact on CPU.
+        # approx_max_k is 7.7x faster on TPU and exact on CPU.  The
+        # raw-features path carries covariances from the raw scan; its KNN
+        # context is only needed for the intensity refine ops.
+        if cloud.covs is not None and not self._refine_needs_knn():
+            return ProcessingContext(knn=None)
         knn = self._knn_jit(cloud.points, cloud.mask, cloud.points)
         return ProcessingContext(knn=knn)
+
+    def _refine_needs_knn(self) -> bool:
+        p = self.params.scan
+        return bool(
+            p.intensity_gaussian.enable or p.intensity_local_mean_norm.enable
+        )
 
     def _covariances_fn(self, cloud: PointCloud, knn: KNNResult) -> PointCloud:
         me = self.params.covariance_estimation.m_estimation
@@ -102,6 +134,8 @@ class PCProcessor:
         return cloud.replace(covs=covs)
 
     def compute_covariances(self, cloud: PointCloud, ctx: ProcessingContext) -> PointCloud:
+        if cloud.covs is not None:
+            return cloud  # raw-features path: already estimated + aggregated
         return self._covariances_jit(cloud, ctx.knn)
 
     # -- refine filter -------------------------------------------------------
@@ -150,11 +184,17 @@ class PCProcessor:
         gyro_bias=None,
         accel_bias=None,
         v_world_body=None,
+        R_world_imu=None,
     ):
-        """pointcloud_processing.hpp:42-53."""
+        """pointcloud_processing.hpp:42-53.
+
+        ``R_world_imu`` overrides the pose-derived IMU rotation — pipelines
+        pass the rotation PROPAGATED to scan start (``current_pose`` is one
+        frame stale by construction)."""
         imu_p = self.params.imu
         T_il = imu_p.T_imu_to_lidar_matrix()
-        R_world_imu = np.asarray(current_pose)[:3, :3] @ T_il[:3, :3]
+        if R_world_imu is None:
+            R_world_imu = np.asarray(current_pose)[:3, :3] @ T_il[:3, :3]
         return deskew_point_cloud_imu(
             cloud, imu_buffer, scan_start_time_sec, scan_duration_sec, T_il,
             np.asarray(imu_p.gyro_bias, np.float32) if gyro_bias is None else gyro_bias,

@@ -384,7 +384,7 @@ class PipelinedLidarInertialOdometry(LidarInertialOdometry):
         else:
             self._dropped_seen = int(dropped)
             if float(load) > 0.7 and pend.frame_index > self._load_grown_until:
-                self.submap._grow_map()
+                self.submap._grow_map(origin=T_np)
                 self._load_grown_until = (
                     self._pending[-1].frame_index if self._pending
                     else pend.frame_index

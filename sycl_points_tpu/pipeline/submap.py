@@ -253,14 +253,20 @@ class Submap:
         )
         return max(tier, self.extract_capacity)
 
-    def _grow_map(self, reextract: bool = True):
+    def _grow_map(self, reextract: bool = True, origin=None):
         """Double the map capacity in place (reference rehash policy,
         voxel_hash_map.hpp:847-934) and re-jit the per-keyframe kernels.
         The extract capacity tiers up with it (extract_tier_for); when the
         tier changes, the submap target is re-extracted at the new shape so
         the fused per-frame programs (whose ``submap_prev`` operand shape is
         the extraction budget) stay consistent.  Callers whose own loop
-        re-runs an extraction right after pass ``reextract=False``."""
+        re-runs an extraction right after pass ``reextract=False``.
+
+        ``origin`` (a [3] position or [4,4] pose) centers the re-extraction;
+        pipelines pass the CURRENT frame pose — ``last_keyframe_pose`` is
+        stale in occupancy-grid mode (keyframe bookkeeping is VHM-only,
+        submapping.hpp:99-121) and a far-traveled stream would otherwise
+        rebuild the target around the wrong center."""
         cfg = self.map_config
         self.map_state = self.grow_fn_for(cfg)(self.map_state)
         if self.is_occupancy:
@@ -271,7 +277,9 @@ class Submap:
         self.extract_capacity = self.extract_tier_for(self.map_capacity)
         self._rebuild_insert_extract()
         if reextract and self.extract_capacity != old_ext and self.submap_cloud is not None:
-            self._reextract_target(self.last_keyframe_pose)
+            self._reextract_target(
+                self.last_keyframe_pose if origin is None else origin
+            )
 
     def grow_extract_capacity(self) -> None:
         """Double the extraction budget directly (overflow-triggered backstop
@@ -428,27 +436,38 @@ class Submap:
         self.extract_overflow = int(extract_overflow)
         self.budget_lost = int(new_state.budget_lost)
 
+        target = None
         if is_first_frame:
             target = self._first_target(cloud, pose_j)
         elif int(extracted.count()) >= self.params.registration.min_num_points:
             target = extracted
+        elif (
+            self.submap_cloud is not None
+            and self.submap_cloud.capacity != self.extract_capacity
+        ):
+            # keep-previous fallback, but the grow-retry loop changed the
+            # extract tier: re-pad the kept target to the new shape so the
+            # re-jitted programs' operand shapes agree (mirrors
+            # retry_insert_after_drop's capacity-mismatch guard)
+            self._reextract_target(np.asarray(pose))
         else:
             target = self.submap_cloud  # keep the previous submap
 
-        self.submap_cloud = self._finalize_target(target)
-        # Auto-select brute-force vs grid buckets by target size; grid cell
-        # size = the ICP correspondence gate, so results are exact for
-        # registration (see ops.knn.build_target_knn).
-        self.submap_knn = build_target_knn(
-            self.submap_cloud,
-            max_correspondence_distance=(
-                self.params.registration.factor.max_correspondence_distance
-            ),
-        )
+        if target is not None:
+            self.submap_cloud = self._finalize_target(target)
+            # Auto-select brute-force vs grid buckets by target size; grid
+            # cell size = the ICP correspondence gate, so results are exact
+            # for registration (see ops.knn.build_target_knn).
+            self.submap_knn = build_target_knn(
+                self.submap_cloud,
+                max_correspondence_distance=(
+                    self.params.registration.factor.max_correspondence_distance
+                ),
+            )
         if not is_first_frame and self.extract_overflow > 0:
             self.resolve_extract_overflow(np.asarray(pose))
         if float(load) > 0.7:
-            self._grow_map()
+            self._grow_map(origin=np.asarray(pose))
 
     def retry_insert_after_drop(self, sampled: PointCloud, pose_np,
                                 grow_first: bool = True) -> None:
@@ -497,7 +516,7 @@ class Submap:
         if self.extract_overflow > 0:
             self.resolve_extract_overflow(pose_np)
         if float(load) > 0.7:
-            self._grow_map()
+            self._grow_map(origin=np.asarray(pose_np))
 
     # -- pipelined drop-retry reconcile (fused) ------------------------------
     def make_reapply_chain(self, cfg, window: int, ext_cap: Optional[int] = None):
@@ -635,7 +654,7 @@ class Submap:
         if self.extract_overflow > 0:
             self.resolve_extract_overflow(np.asarray(poses[W - 1]))
         if float(load) > 0.7:
-            self._grow_map()
+            self._grow_map(origin=np.asarray(poses[W - 1]))
 
     def finalize_traced(self, cloud: PointCloud) -> PointCloud:
         """Traceable target finalize: neighborhood covariances (+ normals as

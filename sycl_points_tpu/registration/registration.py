@@ -141,6 +141,22 @@ class RegistrationResult(NamedTuple):
     error_raw: jax.Array
 
 
+# Column layout of the per-iteration trace buffer (align(..., trace=True)):
+# the on-device equivalent of the reference's verbose per-iteration print of
+# error/inlier/lambda/rho (registration.hpp:821-827, 856-864, 938-946).
+# Rows beyond the executed iteration count stay NaN.
+TRACE_COLS = (
+    "level",          # robust annealing level index
+    "error",          # robust cost after the step (accepted candidate's)
+    "inlier",         # correspondence-gate inliers at linearization
+    "lambda_or_radius",  # LM lambda / dogleg trust radius / GN lambda
+    "step_rot",       # |rot| of the APPLIED step twist (0 when rejected)
+    "step_trans",     # |trans| of the applied step twist
+    "accepted",       # 1 if the iteration moved the pose
+    "converged",      # convergence test on this iteration's step
+)
+
+
 class _Targets(NamedTuple):
     """Pose-independent per-alignment precomputation (one-time, not per
     iteration as in the reference).  ``packed``/``layout`` hold all
@@ -398,7 +414,8 @@ def align(
     rotation_robust_scale: Optional[jax.Array] = None,
     map_prior=None,
     robust_schedule: Optional[tuple] = None,
-) -> RegistrationResult:
+    trace: bool = False,
+):
     """Run ICP (Registration::align, registration.hpp:201-276). Jittable.
 
     ``robust_schedule`` (static tuple of (geometry_scale, rotation_scale)
@@ -407,6 +424,12 @@ def align(
     from the previous level's pose with fresh optimizer state — identical
     semantics to chained align() calls, but a single compiled loop (program
     size and per-call overhead are the dominant costs on the TPU runtime).
+
+    ``trace=True`` (static) additionally returns a fixed-size
+    ``[max_iterations * n_levels, len(TRACE_COLS)]`` per-iteration trace
+    buffer — the TPU-native equivalent of the reference's verbose mode
+    (registration.hpp:821-827, 856-864, 938-946); unexecuted rows are NaN.
+    Returns ``RegistrationResult`` when False, ``(result, trace)`` when True.
     """
     T0 = jnp.eye(4, dtype=jnp.float32) if initial_guess is None else initial_guess
     if robust_schedule:
@@ -507,6 +530,7 @@ def align(
             conv = _is_converged(params, delta)
             err_new, inl_new = cur_err, inlier
             lam_next, trust_next = s.lm_lambda, s.trust_radius
+            step_tr, accepted_tr = delta, jnp.bool_(True)
         elif params.optimization_method == "levenberg_marquardt":
             # Parallel-candidate LM: the reference sequential inner loop
             # tries lambda, lambda*f, lambda*f^2, ... until a trial improves
@@ -541,7 +565,8 @@ def align(
                     lams[0] / p.lambda_factor, p.min_lambda, p.max_lambda
                 )
                 return (
-                    _is_converged(params, delta0), T_c0, err0, inl0, lam_next
+                    _is_converged(params, delta0), T_c0, err0, inl0, lam_next,
+                    delta0, jnp.bool_(True),
                 )
 
             def slow(_):
@@ -576,9 +601,10 @@ def align(
                     jnp.clip(lams[idx] / p.lambda_factor, p.min_lambda, p.max_lambda),
                     jnp.where(any_take, lams[idx], lam_exhausted),
                 )
-                return (conv, T_new, err_new, inl_new, lam_next)
+                step_tr = jnp.where(any_take, deltas[idx], jnp.zeros(6, jnp.float32))
+                return (conv, T_new, err_new, inl_new, lam_next, step_tr, any_take)
 
-            conv, T_new, err_new, inl_new, lam_next = jax.lax.cond(
+            conv, T_new, err_new, inl_new, lam_next, step_tr, accepted_tr = jax.lax.cond(
                 accept0, fast, slow, operand=None
             )
             trust_next = s.trust_radius
@@ -601,6 +627,8 @@ def align(
             err_new = jnp.where(reject, cur_err, new_err)
             inl_new = jnp.where(reject, inlier, new_inl)
             lam_next = s.lm_lambda
+            step_tr = jnp.where(reject, jnp.zeros(6, jnp.float32), step)
+            accepted_tr = ~reject
         else:
             raise ValueError(params.optimization_method)
 
@@ -616,7 +644,19 @@ def align(
         last = s.level >= (n_levels - 1)
         finished = advance & last
         reset = advance & ~last
-        return _LoopState(
+        if params.optimization_method == "powell_dogleg":
+            damping_tr = trust_next
+        elif params.optimization_method == "gauss_newton":
+            damping_tr = jnp.float32(params.gn.lambda_)
+        else:
+            damping_tr = lam_next
+        f32 = lambda v: jnp.asarray(v, jnp.float32)
+        row = jnp.stack([
+            f32(s.level), f32(err_new), f32(inl_new), f32(damping_tr),
+            jnp.linalg.norm(step_tr[:3]), jnp.linalg.norm(step_tr[3:]),
+            f32(accepted_tr), f32(conv),
+        ])
+        new_s = _LoopState(
             T=T_new,
             it=jnp.where(reset, 0, it_next),
             total_it=s.total_it + 1,
@@ -630,6 +670,7 @@ def align(
             H=H, b=g, error=err_new, inlier=inl_new,
             H_raw=H_raw, b_raw=b_raw, error_raw=error_raw,
         )
+        return new_s, row
 
     def cond(s: _LoopState):
         return ~s.finished & (s.total_it < params.max_iterations * n_levels)
@@ -648,12 +689,26 @@ def align(
         H=z66, b=z6, error=jnp.float32(0.0), inlier=jnp.int32(0),
         H_raw=z66, b_raw=z6, error_raw=jnp.float32(0.0),
     )
-    out = jax.lax.while_loop(cond, body, init)
-    return RegistrationResult(
+    if trace:
+        cap = params.max_iterations * n_levels
+        buf0 = jnp.full((cap, len(TRACE_COLS)), jnp.nan, jnp.float32)
+
+        def body_tr(carry):
+            s, buf = carry
+            s2, row = body(s)
+            return s2, buf.at[s.total_it].set(row)
+
+        out, trace_buf = jax.lax.while_loop(
+            lambda c: cond(c[0]), body_tr, (init, buf0)
+        )
+    else:
+        out = jax.lax.while_loop(cond, lambda s: body(s)[0], init)
+    result = RegistrationResult(
         T=out.T, converged=out.converged, iterations=out.total_it,
         H=out.H, b=out.b, error=out.error, inlier=out.inlier,
         H_raw=out.H_raw, b_raw=out.b_raw, error_raw=out.error_raw,
     )
+    return (result, trace_buf) if trace else result
 
 
 def compute_linearized_result(

@@ -22,3 +22,10 @@ jax.config.update("jax_enable_x64", False)
 assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend()
 )
+
+# Persistent compilation cache: repeated suite runs skip XLA compiles
+# (keyed by HLO hash; safe across code changes).  ~2 weak host cores make
+# compile time a real fraction of the 40-minute suite.
+jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/sycl_points_tpu_test_xla_cache"
+)

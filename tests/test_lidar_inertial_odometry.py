@@ -159,3 +159,103 @@ def test_imu_only_fallback():
     r = odo.process(tiny, 10.1)
     assert r is ResultType.imu_only
     assert np.all(np.isfinite(odo.get_odometry()))
+
+
+# ---------------------------------------------------------------------------
+# LIO + IMU deskew integration (reference pattern:
+# cpp/tests/test_lidar_odometry_imu.cpp:90-304 + test_imu_deskew.cpp — the
+# deskew path exercised THROUGH the pipeline, not only as a unit)
+# ---------------------------------------------------------------------------
+
+
+def _circle_motion(omega=1.2, speed=6.0):
+    """Constant-turn-rate circular motion: analytic poses, world velocity and
+    CONSTANT body-frame IMU (gyro [0,0,w], accel R^T(w x v - g))."""
+    r = speed / omega
+
+    def T_at(t):
+        th = omega * t
+        T = np.eye(4, dtype=np.float64)
+        c, s = np.cos(th), np.sin(th)
+        T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        T[:3, 3] = [r * np.sin(th), r * (1 - np.cos(th)), 0.0]
+        return T
+
+    def v_at(t):
+        th = omega * t
+        return speed * np.array([np.cos(th), np.sin(th), 0.0])
+
+    gyro = np.array([0.0, 0.0, omega], np.float32)
+    # body accel: R^T(a_world - g); a_world = omega x v -> body [0, w*|v|, 0]
+    accel = np.array([0.0, omega * speed, G], np.float32)
+    return T_at, v_at, gyro, accel
+
+
+def _distorted_scan(world, T_at, t_start, sweep_sec=0.1):
+    """Spinning-sweep distortion: each return's timestamp follows its azimuth
+    in the scan-start frame; the point is expressed in the sensor frame at
+    ITS OWN time (what a real driver assembles, imu_deskew.hpp:123)."""
+    T0inv = np.linalg.inv(T_at(t_start))
+    local0 = world @ T0inv[:3, :3].T + T0inv[:3, 3]
+    keep = np.linalg.norm(local0, axis=1) < 20.0
+    pts_w = world[keep]
+    az = np.arctan2(local0[keep, 1], local0[keep, 0])  # [-pi, pi)
+    tau = (az + np.pi) / (2 * np.pi) * sweep_sec
+    pts = np.empty((len(pts_w), 3), np.float32)
+    # bucket points by time for vectorization (64 buckets over the sweep)
+    bins = np.clip((tau / sweep_sec * 64).astype(int), 0, 63)
+    for b in range(64):
+        m = bins == b
+        if not m.any():
+            continue
+        Ti = np.linalg.inv(T_at(t_start + (b + 0.5) / 64 * sweep_sec))
+        pts[m] = (pts_w[m] @ Ti[:3, :3].T + Ti[:3, 3]).astype(np.float32)
+    t_ms = (tau * 1e3).astype(np.float32)
+    return pts, t_ms
+
+
+def _run_deskew_sequence(deskew_on: bool, n_frames=8):
+    import dataclasses as dc
+    from sycl_points_tpu.pipeline.params import IMUDeskewParams
+
+    T_at, v_at, gyro, accel = _circle_motion()
+    world = make_world(9000)
+    base = lio_params()
+    params = dc.replace(
+        base,
+        imu=dc.replace(base.imu, deskew=IMUDeskewParams(enable=deskew_on)),
+    )
+    odo = LidarInertialOdometry(params)
+    v0 = v_at(0.0).astype(np.float32)
+    odo.x = odo.x._replace(velocity=jnp.asarray(v0))
+    odo.velocity_np = v0
+    odo.imu_v_world_at_reset = v0
+
+    frame_dt = 0.1
+    for t in np.arange(-0.2, n_frames * frame_dt + frame_dt + 0.01, 1.0 / 200):
+        odo.add_imu_measurement(
+            IMUMeasurement(timestamp=10.0 + t, gyro=gyro, accel=accel)
+        )
+    errs = []
+    for i in range(n_frames):
+        ts = i * frame_dt
+        pts, t_ms = _distorted_scan(world, T_at, ts)
+        cloud = PointCloud.from_numpy(pts, timestamp_offsets=t_ms)
+        r = odo.process(cloud, 10.0 + ts)
+        assert r in (ResultType.first_frame, ResultType.success), r
+        err = np.linalg.norm(odo.get_odometry()[:3, 3] - T_at(ts)[:3, 3])
+        errs.append(err)
+    ate = float(np.sqrt(np.mean(np.square(errs))))
+    bias = float(np.linalg.norm(odo.gyro_bias_np))
+    return ate, bias
+
+
+@pytest.mark.slow
+def test_lio_imu_deskew_integration():
+    ate_on, bias_on = _run_deskew_sequence(True)
+    ate_off, _ = _run_deskew_sequence(False)
+    # deskew must HELP on distorted scans, track tightly, invent no bias
+    # (round-4 verdict ask 1 'Done' criteria)
+    assert ate_on < 0.25, f"deskew-on ATE {ate_on}"
+    assert ate_on < ate_off, f"deskew on {ate_on} vs off {ate_off}"
+    assert bias_on < 0.005, f"invented gyro bias {bias_on}"

@@ -205,9 +205,11 @@ def test_growth_precompile_load_gate():
         T2 = T.copy()
         T2[0, 3] = 0.3 * i
         lo.process(PointCloud.from_numpy(scan_at(world, T2)), timestamp=0.1 * i)
-    # load is far below the gate: nothing scheduled, ctx still recorded
+    # load far below even the SMALL-start gate (this map's capacity is below
+    # the default, so the earlier gate applies — advisor r4): nothing
+    # scheduled, ctx still recorded
     assert lo._last_load is not None
-    assert lo._last_load < fused_submap.GROWTH_PRECOMPILE_LOAD_GATE
+    assert lo._last_load < fused_submap.GROWTH_PRECOMPILE_LOAD_GATE_SMALL
     assert not getattr(lo, "_prebuilt_started", set())
     assert getattr(lo, "_growth_precompile_ctx", None) is not None
 

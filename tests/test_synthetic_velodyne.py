@@ -87,3 +87,43 @@ def test_figure8_imu_consistent_with_trajectory():
         T_true = np.linalg.inv(poses[i]) @ poses[i + 1]
         assert np.linalg.norm(T_rel[:3, 3] - T_true[:3, 3]) < 2e-3, (i, T_rel, T_true)
         assert np.linalg.norm(T_rel[:3, :3] - T_true[:3, :3]) < 2e-3
+
+
+def test_figure8_3d_imu_consistency():
+    """figure8_imu_3d must integrate back to figure8_pose_3d (midpoint,
+    400 Hz, 2 s) — the pose/IMU consistency the bias-observability replay
+    depends on."""
+    from synthetic_velodyne import figure8_imu_3d, figure8_pose_3d, figure8_velocity
+
+    g = np.array([0.0, 0.0, -9.80665])
+    dt = 1.0 / 400
+    T = figure8_pose_3d(0.0, speed=0.7)
+    R, p = T[:3, :3].copy(), T[:3, 3].copy()
+    v = figure8_velocity(0.0, speed=0.7, excite3d=True)
+    for k in range(800):
+        t0, t1 = k * dt, (k + 1) * dt
+        w0, a0 = figure8_imu_3d(t0, speed=0.7)
+        w1, a1 = figure8_imu_3d(t1, speed=0.7)
+        w = 0.5 * (w0 + w1)
+        a = 0.5 * (a0 + a1)
+        th = np.linalg.norm(w * dt)
+        K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]) * dt
+        Rstep = np.eye(3) + np.sin(th) / max(th, 1e-12) * K + (1 - np.cos(th)) / max(th, 1e-12) ** 2 * (K @ K)
+        Rhalf = np.eye(3) + np.sin(th / 2) / max(th, 1e-12) * K + (1 - np.cos(th / 2)) / max(th / 2, 1e-12) ** 2 * 0.25 * (K @ K)
+        a_w = (R @ Rhalf) @ a + g
+        p = p + v * dt + 0.5 * a_w * dt * dt
+        v = v + a_w * dt
+        R = R @ Rstep
+    T_end = figure8_pose_3d(800 * dt, speed=0.7)
+    assert np.linalg.norm(p - T_end[:3, 3]) < 0.05, p - T_end[:3, 3]
+    assert np.linalg.norm(R - T_end[:3, :3]) < 0.02
+
+
+def test_figure8_3d_trajectory_excites_attitude():
+    from synthetic_velodyne import figure8_trajectory
+
+    poses = figure8_trajectory(60, excite3d=True)
+    rolls = [np.arctan2(T[2, 1], T[2, 2]) for T in poses]
+    zs = [T[2, 3] for T in poses]
+    assert max(rolls) - min(rolls) > 0.15  # real roll excitation
+    assert max(zs) - min(zs) > 0.5  # z-bobbing
