@@ -136,6 +136,15 @@ def run_replay(args, poses, scans_np, stamps_np, map_capacity,
         odo = PipelinedLidarOdometry(params)
     else:
         odo = LidarOdometry(params)
+    if args.distort:
+        # seed the CV velocity with the true initial body velocity: the IMU
+        # deskew's v0 compensation comes from it, and an unseeded start
+        # would deskew the map-seeding first frames rotation-only
+        from synthetic_velodyne import figure8_velocity
+
+        v0w = figure8_velocity(0.0, speed=args.speed)
+        R0 = np.asarray(poses[0])[:3, :3]
+        odo.linear_velocity = (R0.T @ v0w).astype(np.float32)
     raw_cap = pad_capacity_for(args.az * args.rings)
 
     # link floor, identically measured (see bench.py)
@@ -179,6 +188,7 @@ def run_replay(args, poses, scans_np, stamps_np, map_capacity,
     failed_frames = []
     cap_seen = odo.submap.map_capacity
     ext_seen = odo.submap.extract_capacity
+    compile_log_seen = len(odo.submap.compile_log)
     n_ok = 0
     precompile_s = None
     for i, pts_np in enumerate(scans_np):
@@ -194,7 +204,13 @@ def run_replay(args, poses, scans_np, stamps_np, map_capacity,
             ext_seen = odo.submap.extract_capacity
             growth_events.append({"frame": i, "capacity": cap_seen,
                                   "extract_capacity": ext_seen,
-                                  "frame_ms": round(dt * 1e3, 1)})
+                                  "frame_ms": round(dt * 1e3, 1),
+                                  # what this event actually paid for
+                                  # (Submap.compile_log delta: jit misses +
+                                  # grow/re-extract host blocks)
+                                  "compile_log": odo.submap.compile_log[
+                                      compile_log_seen:]})
+            compile_log_seen = len(odo.submap.compile_log)
         if not args.pipelined:
             est_poses.append(np.asarray(odo.odom).copy())
         if r in (ResultType.success, ResultType.first_frame):

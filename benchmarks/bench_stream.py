@@ -215,6 +215,7 @@ def main():
         # missing measurement
         "server_queue_wait_ms": tele.get("queue_wait_ms"),
         "server_process_ms": tele.get("process_ms"),
+        "server_pose_e2e_ms": tele.get("pose_e2e_server_ms"),
         "server_frame_timings_tail": list(server.frame_timings)[-40:],
     }
     print(json.dumps(out))

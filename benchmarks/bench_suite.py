@@ -530,6 +530,36 @@ def config8_kitti_scale():
 
     out["preprocess_ms_per_scan"] = round(marginal_ms(b_pre, reps=(1, 5)), 3)
 
+    # ---- raw-features preprocess (range-image covariances, r5) -------------
+    # covariances from the RAW scan's O(N) range-image neighborhoods, carried
+    # through the voxel downsample — replaces the dense post-voxel self-KNN
+    # (the measured preprocess dominator: 8.9 of 10.5 ms at this tier)
+    from sycl_points_tpu.ops.range_image_knn import range_image_knn
+
+    def preprocess_rimg(cloud, out_cap):
+        c = box_filter(cloud, 0.5, 50.0)
+        rr = range_image_knn(c.points, c.mask, 10)
+        covs = estimate_covariances(c.points, rr.knn)
+        c = voxel_downsample(c.replace(covs=covs), 0.25, out_capacity=out_cap)
+        return c.replace(normals=extract_normals(c.points, c.covs))
+
+    def b_pre_rimg(i, acc):
+        c = preprocess_rimg(src.replace(points=src.points + 1e-12 * acc), post_cap)
+        return acc + c.points[0, 0] + c.covs[0, 0, 0]
+
+    out["preprocess_rawfeat_ms_per_scan"] = round(
+        marginal_ms(b_pre_rimg, reps=(1, 5)), 3
+    )
+
+    def b_rimg_knn(i, acc):
+        rr = range_image_knn(src.points + 1e-12 * acc, src.mask, 10)
+        return acc + rr.knn.distances[0, 0]
+
+    ms_rimg = marginal_ms(b_rimg_knn, reps=(1, 5))
+    out["knn_k10_rimg_self131k_Mq_per_s"] = round(
+        int(src.capacity) / ms_rimg / 1e3, 2
+    )
+
     # ---- KNN throughput -----------------------------------------------------
     pre_s = jax.block_until_ready(jax.jit(lambda c: preprocess(c, post_cap))(src))
     pre_t = jax.block_until_ready(jax.jit(lambda c: preprocess(c, post_cap))(tgt))
@@ -610,6 +640,25 @@ def config8_kitti_scale():
     out["gicp_pipeline_sampled_ms_per_pair"] = round(
         marginal_ms(b_gicp_pipe, reps=(1, 5)), 3
     )
+
+    # ---- the BASELINE.json north star, measured as ONE fused body ----------
+    # full preprocess of BOTH raw 131k scans (raw-features path) + the
+    # production sampled robust-GICP alignment, end to end
+    def b_e2e_pair(i, acc):
+        s = preprocess_rimg(src.replace(points=src.points + 1e-12 * acc), post_cap)
+        g = preprocess_rimg(tgt, post_cap)
+        res = align_pipeline(s, g, BruteForceKNN.build(g), pparams, key=key)
+        return acc + res.result.error
+
+    out["e2e_pair_rawfeat_ms"] = round(marginal_ms(b_e2e_pair, reps=(1, 5)), 3)
+    res_rf = jax.jit(
+        lambda s0: align_pipeline(
+            preprocess_rimg(s0, post_cap), preprocess_rimg(tgt, post_cap),
+            BruteForceKNN.build(preprocess_rimg(tgt, post_cap)), pparams, key=key,
+        ).result.T
+    )(src)
+    t_err_rf = np.linalg.norm(np.asarray(res_rf)[:3, 3] - T_rel[:3, 3])
+    out["e2e_pair_rawfeat_t_err_cm"] = round(float(t_err_rf) * 100.0, 2)
 
     # accuracy cross-check vs the synthetic ground truth
     res = jax.jit(

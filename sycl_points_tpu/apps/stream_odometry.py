@@ -69,6 +69,11 @@ class StreamServerConfig:
     publish_map_every: int = 0
     # Send a STATUS telemetry message every N processed frames (0 = never).
     status_every: int = 0
+    # Warm the map-growth program ladder up to this capacity right after the
+    # first processed frame (background thread).  Growth events otherwise
+    # compile 10+ s programs MID-STREAM, which a paced publisher experiences
+    # as QoS drops (the r4 10 Hz wedge class of failure); 0 = off.
+    precompile_growth_capacity: int = 0
 
 
 # ResultType enums (LO + LIO, string-valued) -> wire result codes.
@@ -213,6 +218,11 @@ class OdometryStreamServer:
         # wall time went (queue wait vs process vs publish lag)
         self.frame_timings: Deque[Dict] = deque(maxlen=512)
         self._emit_t: Dict[int, float] = {}
+        self._arr_t: Dict[int, float] = {}
+        # server-side e2e (scan arrival -> pose emit) per seq; valid for
+        # BOTH backends (the pipelined pose emits frames later than its scan)
+        self.pose_e2e_ms: Deque[float] = deque(maxlen=512)
+        self._growth_warmed = False
 
     # -- lifecycle -----------------------------------------------------------
     def start(self) -> None:
@@ -325,6 +335,10 @@ class OdometryStreamServer:
                 self._wake.clear()
                 continue
             msg, t_arrival = item
+            self._arr_t[msg.seq] = t_arrival
+            if len(self._arr_t) > 1024:
+                for k in sorted(self._arr_t)[:-512]:
+                    self._arr_t.pop(k, None)
             try:
                 t_deq = time.perf_counter()
                 self._process_scan(msg)
@@ -387,6 +401,21 @@ class OdometryStreamServer:
             scan_duration_sec=self.config.scan_duration_sec,
         )
         self.frames_processed += 1
+        if (
+            self.config.precompile_growth_capacity
+            and not self._growth_warmed
+            and self.frames_processed >= 2
+        ):
+            # one frame has been dispatched -> the ladder knows its shapes;
+            # compile every growth tier in the background so a mid-stream
+            # growth swaps in ready programs instead of stalling the queue
+            self._growth_warmed = True
+            try:
+                self.pipeline.precompile_growth(
+                    self.config.precompile_growth_capacity, wait=False
+                )
+            except (AttributeError, RuntimeError) as e:
+                self.last_error = f"precompile_growth: {e}"
         self._result_by_seq[msg.seq] = result_code(rtype)
         if self.is_pipelined:
             fc = self.pipeline.frame_count
@@ -418,10 +447,14 @@ class OdometryStreamServer:
 
     def _emit_pose(self, seq: int, ts: float, T_lidar: np.ndarray,
                    result_code: int, inlier: float) -> None:
-        self._emit_t[seq] = time.perf_counter()
+        now = time.perf_counter()
+        self._emit_t[seq] = now
         if len(self._emit_t) > 1024:
             for k in sorted(self._emit_t)[:-512]:
                 self._emit_t.pop(k, None)
+        arr = self._arr_t.get(seq)
+        if arr is not None:
+            self.pose_e2e_ms.append(round((now - arr) * 1e3, 2))
         T_base = np.asarray(T_lidar, np.float32) @ self.T_lb
         q = lie_np.matrix_to_quat(T_base[:3, :3])
         self._send(
@@ -496,6 +529,14 @@ class OdometryStreamServer:
             # way to see WHERE offered-load latency accrued)
             "queue_wait_ms": agg("queue_wait_ms"),
             "process_ms": agg("process_ms"),
+            "pose_e2e_server_ms": (
+                {
+                    "median": round(float(np.median(self.pose_e2e_ms)), 2),
+                    "p90": round(float(np.percentile(self.pose_e2e_ms, 90)), 2),
+                    "max": round(float(np.max(self.pose_e2e_ms)), 2),
+                }
+                if self.pose_e2e_ms else None
+            ),
             "last_error": self.last_error,
         }
 

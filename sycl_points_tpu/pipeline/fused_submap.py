@@ -160,8 +160,16 @@ _atexit.register(_join_inflight)
 
 
 def _spawn_precompile(work, name: str) -> None:
+    import os
     import threading
 
+    if os.environ.get("SYCL_POINTS_SYNC_PRECOMPILE") == "1":
+        # test mode (set by tests/conftest.py): background compiles racing
+        # the main thread's XLA:CPU compiles segfaulted the full suite on
+        # the 1-core host (crash inside backend_compile_and_load, position
+        # moved with thread timing); inline execution is deterministic
+        work()
+        return
     _INFLIGHT[:] = [t for t in _INFLIGHT if t.is_alive()]
     t = threading.Thread(target=work, daemon=True, name=name)
     _INFLIGHT.append(t)

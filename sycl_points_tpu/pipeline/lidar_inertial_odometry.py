@@ -291,12 +291,14 @@ class LidarInertialOdometry:
 
     def _build_submap_step(self):
         self._submap_robust_scale = None
-        cached = getattr(self, "_prebuilt_submap", {}).get(
-            (self.submap.map_capacity, self.submap.extract_capacity)
-        )
+        key = (self.submap.map_capacity, self.submap.extract_capacity)
+        cached = getattr(self, "_prebuilt_submap", {}).get(key)
         if cached is not None:
             self._submap_step_jit = cached
         else:
+            self.submap.compile_log.append(
+                {"what": "submap_step_jit_miss", "key": key}
+            )
             self._submap_step_jit = build_submap_step(
                 self.params, self.submap, self._use_pallas, robust_scale=None
             )

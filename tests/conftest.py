@@ -12,6 +12,26 @@ plugins may import jax before this file runs, so we use ``jax.config``
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# run growth precompiles inline (see fused_submap._spawn_precompile):
+# background-vs-main concurrent XLA:CPU compiles segfault on this host
+os.environ["SYCL_POINTS_SYNC_PRECOMPILE"] = "1"
+
+
+# Raise the main-thread stack growth cap: full-suite runs (300+ compiled
+# programs in one process) intermittently segfault inside XLA:CPU's
+# backend_compile_and_load on this 1-core host; LLVM compile recursion is a
+# known deep-stack consumer and 8 MB is the distro default.
+import resource
+
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 512 << 20
+    if _hard == resource.RLIM_INFINITY or _hard >= _want:
+        resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+    elif _soft < _hard:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except (ValueError, OSError):
+    pass
 
 import jax  # noqa: E402
 
@@ -23,9 +43,7 @@ assert jax.default_backend() == "cpu", (
     "tests must run on the virtual CPU mesh, got " + jax.default_backend()
 )
 
-# Persistent compilation cache: repeated suite runs skip XLA compiles
-# (keyed by HLO hash; safe across code changes).  ~2 weak host cores make
-# compile time a real fraction of the 40-minute suite.
-jax.config.update(
-    "jax_compilation_cache_dir", "/tmp/sycl_points_tpu_test_xla_cache"
-)
+# NOTE: the persistent compilation cache was tried here and REVERTED: two
+# full-suite runs segfaulted inside backend_compile_and_load (different
+# tests each time) with the cache enabled; without it the suite is stable.
+# Entry points may still opt in via utils/compile_cache.py.

@@ -138,8 +138,10 @@ def test_growth_precompile_swaps_in_prebuilt(monkeypatch):
     from sycl_points_tpu.pipeline import fused_submap
 
     # the background precompile is load-gated (idle maps must not pay
-    # speculative compiles); force it on for this test
+    # speculative compiles); force it on for this test (both gates — this
+    # map's capacity is below the default, so the SMALL gate applies)
     monkeypatch.setattr(fused_submap, "GROWTH_PRECOMPILE_LOAD_GATE", 0.0)
+    monkeypatch.setattr(fused_submap, "GROWTH_PRECOMPILE_LOAD_GATE_SMALL", 0.0)
 
     world = make_world()
     poses = _trajectory(5)

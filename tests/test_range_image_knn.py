@@ -89,3 +89,28 @@ def test_collision_telemetry():
     res = range_image_knn(jnp.asarray(pts), jnp.ones(3, dtype=bool), 2,
                           n_az=32, n_rings=4)
     assert int(res.collisions) == 1
+
+
+def test_morton_window_knn_envelope(velodyne_scan):
+    """window_knn (Morton-order fallback for unstructured clouds): honest
+    envelope check — recall is measurably LOWER than the range-image path
+    (~0.8 vs 0.998 on spinning-lidar data); it exists for clouds with no
+    grid structure.  Distances must still be exact for reported pairs."""
+    from sycl_points_tpu.ops.window_knn import window_self_knn
+
+    pts = velodyne_scan[:8192]
+    p = jnp.asarray(pts)
+    m = jnp.ones(len(pts), bool)
+    ref = brute_force_knn(p, m, p, 10)
+    ref_i = np.sort(np.asarray(ref.indices), axis=1)
+    r = window_self_knn(p, m, 10, window=64, passes=2)
+    got = np.asarray(r.indices)
+    hits = np.mean(
+        [len(np.intersect1d(ref_i[i], got[i])) / 10.0 for i in range(0, len(pts), 13)]
+    )
+    assert hits > 0.70, hits  # measured ~0.8; this is the documented floor
+    d = np.asarray(r.distances)
+    for i in range(0, len(pts), 991):
+        for j, idx in enumerate(got[i]):
+            if np.isfinite(d[i, j]):
+                assert abs(d[i, j] - np.sum((pts[i] - pts[idx]) ** 2)) < 1e-4

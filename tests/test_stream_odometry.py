@@ -353,3 +353,109 @@ def test_imu_routing_reaches_pipeline():
         client.finish()
     finally:
         server.stop()
+
+
+@pytest.mark.slow
+def test_stream_paced_offered_load():
+    """Paced-load serving (round-4 verdict ask 2): a fixed-rate publisher at
+    a sustainable rate must get EVERY pose with zero QoS drops and bounded
+    queue wait — the keep-last-QoS live-node property
+    (lidar_odometry_base_node.cpp:21-414).  The r4 bench showed paced load
+    wedging while closed-loop was healthy; no test would have caught it."""
+    import dataclasses as dc
+    import time
+
+    world = _world()
+    base = _small_params()
+    # map sized to NOT grow during the run: mid-stream growth compiles are a
+    # separate concern covered by StreamServerConfig.precompile_growth_capacity
+    # and the TPU growth artifacts; at CPU-test scale a growth stall (~10 s
+    # compile on 2 weak cores) would drown the pacing margins being tested
+    params = dc.replace(
+        base, submap=dc.replace(base.submap, map_capacity=1 << 15)
+    )
+    server = OdometryStreamServer(
+        params,
+        StreamServerConfig(pipeline="lo_pipelined", scan_capacity=1 << 12),
+    )
+    server.start()
+    try:
+        client = OdometryStreamClient("127.0.0.1", server.port, timeout=900.0)
+        n_frames, warmup = 12, 3
+        pose_seqs = set()
+        got = []
+
+        import threading
+        done = threading.Event()
+
+        def receive():
+            try:
+                while len(pose_seqs) < n_frames - 1:
+                    msg = client.recv()
+                    if msg is None:
+                        return
+                    if msg.msg_type == sp.MSG_POSE:
+                        d = sp.decode_pose_payload(msg.payload)
+                        pose_seqs.add(d[0])
+                        got.append(d)
+            finally:
+                done.set()
+
+        rx = threading.Thread(target=receive, daemon=True)
+        rx.start()
+
+        # closed-loop warmup (compiles; depth-4 queue absorbs the burst),
+        # then measure the closed-loop rate on one settled frame.  Pipelined
+        # backend: pose for seq k arrives while seq k+2 processes; seq 1
+        # (bootstrap) never gets a pose.
+        for i in range(warmup):
+            client.send_cloud({"points": _scan_at(world, [0.2 * i, 0, 0])},
+                              timestamp=0.1 * i)
+        # the idle force-resolve publishes the in-flight poses once the
+        # warmup queue drains (seq 1 = bootstrap, no pose)
+        deadline = time.perf_counter() + 600.0
+        while 2 not in pose_seqs and time.perf_counter() < deadline:
+            time.sleep(0.002)
+        assert 2 in pose_seqs, "warmup frames never produced poses"
+        t0 = time.perf_counter()
+        client.send_cloud({"points": _scan_at(world, [0.2 * warmup, 0, 0])},
+                          timestamp=0.1 * warmup)
+        want = warmup + 1  # this frame's own pose, via idle resolution
+        deadline = time.perf_counter() + 300.0
+        while want not in pose_seqs and time.perf_counter() < deadline:
+            time.sleep(0.002)
+        closed_loop_s = max(time.perf_counter() - t0, 1e-3)
+
+        # offer at HALF the closed-loop rate: comfortably sustainable
+        period = 2.0 * closed_loop_s
+        t_base = time.perf_counter()
+        for j in range(warmup + 1, n_frames):
+            target = t_base + (j - warmup) * period
+            dt_sleep = target - time.perf_counter()
+            if dt_sleep > 0:
+                time.sleep(dt_sleep)
+            client.send_cloud({"points": _scan_at(world, [0.2 * j, 0, 0])},
+                              timestamp=0.1 * j)
+
+        # flush through the server's own thread and collect the tail
+        server._flushed.clear()
+        server._flush_requested.set()
+        server._wake.set()
+        assert server._flushed.wait(timeout=300.0)
+        done.wait(timeout=300.0)
+
+        tele = server.telemetry()
+        # every scan processed, zero QoS drops at the sustainable rate
+        assert tele["scan_queue_dropped"] == 0, tele
+        assert tele["frames_processed"] == n_frames, tele
+        # pipelined backend: poses for every frame except the bootstrap
+        assert pose_seqs.issuperset(set(range(2, n_frames + 1))), sorted(pose_seqs)
+        # queue wait bounded: scans must not rot in the queue while the
+        # pipeline idles (paced-load wedge signature); generous CPU bound =
+        # 4x the closed-loop frame time
+        waits = [t["queue_wait_ms"] for t in server.frame_timings
+                 if t["seq"] > warmup + 1]
+        assert waits and max(waits) < 4000.0 * closed_loop_s + 500.0, (
+            waits, closed_loop_s)
+    finally:
+        server.stop()
